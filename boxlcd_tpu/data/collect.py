@@ -1,0 +1,107 @@
+"""On-device batched rollout collection into barrel shards.
+
+The TPU-native replacement for the reference's data collection
+(reference: research/data.py:24-79): instead of one OS process per env with
+shared-memory obs transport, a single jitted program `vmap`s reset/step over
+a worlds axis and `lax.scan`s over time, producing whole [B, T, ...] episode
+tensors on device. The host only writes the finished barrels.
+
+Barrel layout matches the reference exactly (data.py:50-77): npz
+`{timestamp}-{ep_len}.barrel.npz` with `action` [1000, T, act] plus one entry
+per obs key [1000, T, ...], recorded as (o_t, a_t) pairs where the final
+action is meaningless.
+"""
+from __future__ import annotations
+
+import time
+from datetime import datetime
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxlcd_tpu.data.dataset import BARREL_SIZE
+from boxlcd_tpu.envs.env import Env
+
+
+def make_rollout_fn(env, policy_fn=None):
+  """Build a jitted (key, batch) -> dict of [B, T, ...] episode arrays.
+
+  policy_fn(key, obs_dict) -> action; defaults to uniform random actions
+  (the reference's collection policy, data.py:57).
+  """
+  T = int(env.G.ep_len)
+  act_size = env.act_size
+
+  if policy_fn is None:
+    def policy_fn(key, obs):
+      return jax.random.uniform(key, (act_size,), minval=-1.0, maxval=1.0)
+
+  def one_episode(key):
+    # use the functional core explicitly (WorldEnv overrides reset/step with
+    # the stateful gym-style API)
+    k_reset, k_run = jax.random.split(key)
+    state = Env.reset(env, k_reset)
+
+    def step(carry, k):
+      state = carry
+      obs = Env.observe(env, state)
+      act = policy_fn(k, obs)
+      nstate = Env.step(env, state, act)[0]
+      return nstate, {**obs, 'action': act}
+
+    _, traj = jax.lax.scan(step, state, jax.random.split(k_run, T))
+    return traj
+
+  def batch_rollout(key, batch_size):
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(one_episode)(keys)
+
+  return batch_rollout, T
+
+
+def rollout_batch(env, key, batch_size, policy_fn=None):
+  """Convenience: one jitted batch of episodes as numpy arrays."""
+  fn, _ = make_rollout_fn(env, policy_fn)
+  traj = jax.jit(fn, static_argnums=1)(key, batch_size)
+  return jax.tree_util.tree_map(np.asarray, traj)
+
+
+def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
+  """Fill `num_barrels` shards of BARREL_SIZE episodes each."""
+  logdir = Path(G.logdir) / prefix
+  logdir.mkdir(parents=True, exist_ok=True)
+  batch_size = batch_size or min(BARREL_SIZE, int(G.get('num_envs', 0)) or 250)
+  assert BARREL_SIZE % batch_size == 0, \
+      f'batch size {batch_size} must divide barrel size {BARREL_SIZE}'
+  fn, T = make_rollout_fn(env)
+  jfn = jax.jit(fn, static_argnums=1)
+  reps = BARREL_SIZE // batch_size
+  for bi in range(num_barrels):
+    chunks = []
+    t0 = time.time()
+    for r in range(reps):
+      key, sub = jax.random.split(key)
+      chunks.append(jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)))
+    traj = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
+    fps = BARREL_SIZE * T / (time.time() - t0)
+    action = traj.pop('action')
+    traj['lcd'] = traj['lcd'].astype(bool)
+    timestamp = datetime.now().strftime('%Y%m%dT%H%M%S')
+    np.savez_compressed(logdir / f'{timestamp}-{T}.barrel',
+                        action=action, **traj)
+    print(f'[collect] {prefix} barrel {bi + 1}/{num_barrels} '
+          f'({fps:,.0f} env-steps/s)')
+  return key
+
+
+def collect(env_fn, G):
+  """Entry point mirroring the reference CLI mode (research/main.py:72-74)."""
+  start = time.time()
+  G.logdir.mkdir(parents=True, exist_ok=True)
+  env = env_fn(G)()
+  key = jax.random.PRNGKey(int(G.get('seed', 0)))
+  key = fill_barrels(env, int(G.test_barrels), 'test', G, key)
+  fill_barrels(env, int(G.train_barrels), 'train', G, key)
+  print('TOTAL COLLECT TIME', time.time() - start)

@@ -1,0 +1,514 @@
+"""Fixed-shape rigid-body step: the TPU-native replacement for b2World::Step.
+
+Implements the Box2D solver pipeline the reference leans on
+(reference: boxLCD/world_env.py:446-452 — `Step(1/(3*fps), 180, 60)` x3):
+
+  integrate velocities -> narrowphase -> warm start -> sequential-impulse
+  velocity iterations (joints, then contacts, Gauss-Seidel over constraint
+  slots) -> integrate positions -> non-linear Gauss-Seidel position
+  iterations (joint limits/points + contact penetration).
+
+All shapes are static: contacts live in fixed arenas (bodies x walls x 2 and
+precompiled body pairs x 2) with validity masks. One world's step is pure;
+batching is `jax.vmap` over a leading worlds axis, sharding is `shard_map`
+over a device mesh on top of that.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxlcd_tpu.engine import collision
+from boxlcd_tpu.engine.collision import Geom, make_geom, rot_mat
+from boxlcd_tpu.engine.spec import WorldSpec
+
+# Box2D b2Settings constants
+BAUMGARTE = 0.2
+LINEAR_SLOP = 0.005
+ANGULAR_SLOP = 2.0 / 180.0 * jnp.pi
+MAX_LINEAR_CORRECTION = 0.2
+MAX_ANGULAR_CORRECTION = 8.0 / 180.0 * jnp.pi
+VELOCITY_THRESHOLD = 1.0
+
+
+def cross_sv(w, r):
+  """scalar x vector: w x r = (-w*ry, w*rx)."""
+  return jnp.stack([-w * r[..., 1], w * r[..., 0]], axis=-1)
+
+
+def cross_vv(a, b):
+  return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def perp(n):
+  """tangent = cross(n, 1) = (ny, -nx)."""
+  return jnp.stack([n[..., 1], -n[..., 0]], axis=-1)
+
+
+class WorldState(NamedTuple):
+  """Dynamic state of one world (vmap over a leading axis for batches)."""
+  c: jnp.ndarray          # (N, 2) world center-of-mass positions
+  a: jnp.ndarray          # (N,)   angles
+  v: jnp.ndarray          # (N, 2) linear velocities (of com)
+  w: jnp.ndarray          # (N,)   angular velocities
+  is_circle: jnp.ndarray  # (N,)   bool, per-episode shape choice
+  ep_t: jnp.ndarray       # ()     int32 step counter
+  # warm-start caches (persist across substeps and steps)
+  wc_imp: jnp.ndarray     # (N, W, 2, 2) wall-contact [pn, pt]
+  wc_id: jnp.ndarray      # (N, W, 2) int32
+  pc_imp: jnp.ndarray     # (P, 2, 2) pair-contact [pn, pt]
+  pc_id: jnp.ndarray      # (P, 2) int32
+  j_imp: jnp.ndarray      # (J, 2) joint point impulse
+  j_mot: jnp.ndarray      # (J,) motor impulse
+  j_lim: jnp.ndarray      # (J,) limit impulse (Box2D 2.3 single accumulator)
+  j_state: jnp.ndarray    # (J,) int32 limit state: 0 inactive, 1 lower, 2 upper, 3 equal
+
+
+def init_state(spec: WorldSpec) -> WorldState:
+  n = spec.n
+  nw = len(spec.wall_offset)
+  p = len(spec.pair_a)
+  j = len(spec.j_parent)
+  return WorldState(
+      c=jnp.zeros((n, 2)), a=jnp.zeros(n), v=jnp.zeros((n, 2)),
+      w=jnp.zeros(n), is_circle=jnp.asarray(spec.shape_static == 0),
+      ep_t=jnp.zeros((), jnp.int32),
+      wc_imp=jnp.zeros((n, nw, 2, 2)), wc_id=jnp.full((n, nw, 2), -1, jnp.int32),
+      pc_imp=jnp.zeros((p, 2, 2)), pc_id=jnp.full((p, 2), -1, jnp.int32),
+      j_imp=jnp.zeros((j, 2)), j_mot=jnp.zeros(j),
+      j_lim=jnp.zeros(j), j_state=jnp.zeros(j, jnp.int32))
+
+
+def body_inv_mass(spec: WorldSpec, is_circle):
+  inv_m = jnp.where(is_circle, spec.inv_m[:, 0], spec.inv_m[:, 1])
+  inv_i = jnp.where(is_circle, spec.inv_i[:, 0], spec.inv_i[:, 1])
+  return inv_m, inv_i
+
+
+def local_center(spec: WorldSpec, is_circle):
+  return jnp.where(is_circle[:, None], spec.local_center[:, 0],
+                   spec.local_center[:, 1])
+
+
+def origin_pos(spec: WorldSpec, state: WorldState):
+  """Body-origin positions (what Box2D reports as body.position)."""
+  lc = local_center(spec, state.is_circle)
+  rot = rot_mat(state.a)
+  return state.c - jnp.einsum('nij,nj->ni', rot, lc)
+
+
+def com_from_origin(spec: WorldSpec, is_circle, origin, angle):
+  lc = local_center(spec, is_circle)
+  rot = rot_mat(angle)
+  return origin + jnp.einsum('nij,nj->ni', rot, lc)
+
+
+def _match_impulses(new_ids, touch, old_ids, old_imp):
+  """Carry accumulated impulses for persisting contact points (warm start)."""
+  # (..., 2 new, 2 old) id equality; old impulses were zeroed if not touching
+  eq = new_ids[..., :, None] == old_ids[..., None, :]
+  imp = jnp.einsum('...no,...oc->...nc', eq.astype(old_imp.dtype), old_imp)
+  return jnp.where(touch[..., None], imp, 0.0)
+
+
+def step_world(spec: WorldSpec, state: WorldState, action: jnp.ndarray
+               ) -> WorldState:
+  """Advance one env step = spec.substeps physics substeps.
+
+  Action semantics follow the reference (boxLCD/world_env.py:434-444):
+  speed control sets motor speed to gain * clip(action, -1, 1) with fixed max
+  torque. Joints with equal limits are locked and take no action.
+  """
+  act = jnp.clip(action, -1.0, 1.0)
+  has_act = spec.j_act >= 0
+  a_j = act[jnp.maximum(spec.j_act, 0)] * has_act
+  motor_speed = spec.j_speed * a_j
+  max_torque = jnp.asarray(spec.j_torque)
+
+  def sub(st, _):
+    return _substep(spec, st, motor_speed, max_torque), None
+
+  state, _ = jax.lax.scan(sub, state, None, length=spec.substeps)
+  return state._replace(ep_t=state.ep_t + 1)
+
+
+def _substep(spec: WorldSpec, st: WorldState, motor_speed, max_torque
+             ) -> WorldState:
+  dt = spec.dt
+  inv_dt = 1.0 / dt
+  inv_m, inv_i = body_inv_mass(spec, st.is_circle)
+  lc = local_center(spec, st.is_circle)
+
+  # ---- 1. integrate velocities + damping ---------------------------------
+  v = (st.v + dt * spec.gravity[None, :]) / (1.0 + dt * spec.lin_damp)[:, None]
+  w = st.w / (1.0 + dt * spec.ang_damp)
+
+  # ---- 2. narrowphase ------------------------------------------------------
+  geom = make_geom(spec, st.is_circle, st.c, st.a)
+  n_bodies = spec.n
+  nw = len(spec.wall_offset)
+  wall_n = jnp.asarray(spec.wall_normal)      # (W, 2)
+  wall_off = jnp.asarray(spec.wall_offset)
+
+  wallm = jax.vmap(lambda b: jax.vmap(
+      lambda wi: collision.collide_wall(geom, b, wall_n[wi], wall_off[wi])
+  )(jnp.arange(nw)))(jnp.arange(n_bodies))    # fields: (N, W, ...)
+
+  pair_a = jnp.asarray(spec.pair_a)
+  pair_b = jnp.asarray(spec.pair_b)
+  pairm = jax.vmap(lambda a, b: collision.collide_pair(geom, a, b))(
+      pair_a, pair_b)                          # fields: (P, ...)
+  pair_touch = pairm.touch & jnp.asarray(spec.pair_valid)[:, None]
+  pairm = pairm._replace(touch=pair_touch)
+
+  # ---- 3. warm-start matching ---------------------------------------------
+  wc_imp = _match_impulses(wallm.ids, wallm.touch, st.wc_id, st.wc_imp)
+  pc_imp = _match_impulses(pairm.ids, pairm.touch, st.pc_id, st.pc_imp)
+
+  # ---- 4. constraint init ---------------------------------------------------
+  # wall contacts: static wall is "body A" with zero mass
+  w_n = wall_n[None, :, None, :]                                  # (1,W,1,2)
+  w_t = perp(w_n)
+  w_rB = wallm.points - st.c[:, None, None, :]                    # (N,W,2,2)
+  w_imB = inv_m[:, None, None]
+  w_iiB = inv_i[:, None, None]
+  w_kn = w_imB + w_iiB * cross_vv(w_rB, w_n) ** 2
+  w_kt = w_imB + w_iiB * cross_vv(w_rB, w_t) ** 2
+  w_nmass = jnp.where(wallm.touch, 1.0 / jnp.maximum(w_kn, 1e-12), 0.0)
+  w_tmass = jnp.where(wallm.touch, 1.0 / jnp.maximum(w_kt, 1e-12), 0.0)
+  # contact friction is the geometric mix with the wall's (Box2D default 0.2)
+  w_mu = jnp.sqrt(0.2 * spec.friction)[:, None, None]
+  w_e = spec.restitution[:, None, None]
+  w_dv0 = v[:, None, None, :] + cross_sv(w[:, None, None], w_rB)
+  w_vn0 = (w_dv0 * w_n).sum(-1)
+  w_bias = jnp.where(w_vn0 < -VELOCITY_THRESHOLD, -w_e * w_vn0, 0.0)
+
+  # pair contacts (index spec's numpy tables with numpy indices: static gathers)
+  p_a, p_b = spec.pair_a, spec.pair_b
+  p_n = pairm.normal[:, None, :]                                   # (P,1,2)
+  p_t = perp(p_n)
+  p_rA = pairm.points - st.c[p_a][:, None, :]                      # (P,2,2)
+  p_rB = pairm.points - st.c[p_b][:, None, :]
+  p_imA, p_imB = inv_m[p_a][:, None], inv_m[p_b][:, None]
+  p_iiA, p_iiB = inv_i[p_a][:, None], inv_i[p_b][:, None]
+  p_kn = p_imA + p_imB + p_iiA * cross_vv(p_rA, p_n) ** 2 \
+      + p_iiB * cross_vv(p_rB, p_n) ** 2
+  p_kt = p_imA + p_imB + p_iiA * cross_vv(p_rA, p_t) ** 2 \
+      + p_iiB * cross_vv(p_rB, p_t) ** 2
+  p_nmass = jnp.where(pairm.touch, 1.0 / jnp.maximum(p_kn, 1e-12), 0.0)
+  p_tmass = jnp.where(pairm.touch, 1.0 / jnp.maximum(p_kt, 1e-12), 0.0)
+  p_mu = jnp.asarray(
+      np.sqrt(spec.friction[p_a] * spec.friction[p_b]))[:, None]
+  p_e = jnp.asarray(
+      np.maximum(spec.restitution[p_a], spec.restitution[p_b]))[:, None]
+  p_dv0 = (v[p_b][:, None] + cross_sv(w[p_b][:, None], p_rB)
+           - v[p_a][:, None] - cross_sv(w[p_a][:, None], p_rA))
+  p_vn0 = (p_dv0 * p_n).sum(-1)
+  p_bias = jnp.where(p_vn0 < -VELOCITY_THRESHOLD, -p_e * p_vn0, 0.0)
+
+  # joints (jnp copies of per-joint tables so scan bodies can index by tracer)
+  j_pa, j_ch = jnp.asarray(spec.j_parent), jnp.asarray(spec.j_child)
+  j_lower = jnp.asarray(spec.j_lower)
+  j_upper = jnp.asarray(spec.j_upper)
+  j_limited = jnp.asarray(spec.j_limited)
+  j_anchor_a = jnp.asarray(spec.j_anchor_a)
+  j_anchor_b = jnp.asarray(spec.j_anchor_b)
+  lc_j = jnp.asarray(lc)
+  rotA, rotB = geom.rot[j_pa], geom.rot[j_ch]
+  j_rA = jnp.einsum('jik,jk->ji', rotA, spec.j_anchor_a - lc[j_pa])
+  j_rB = jnp.einsum('jik,jk->ji', rotB, spec.j_anchor_b - lc[j_ch])
+  j_mA, j_mB = inv_m[j_pa], inv_m[j_ch]
+  j_iA, j_iB = inv_i[j_pa], inv_i[j_ch]
+  j_axmass_raw = j_iA + j_iB
+  j_axmass = jnp.where(j_axmass_raw > 0, 1.0 / jnp.maximum(j_axmass_raw, 1e-12), 0.0)
+  j_axmass = j_axmass * jnp.asarray(spec.j_valid)
+  j_angle = st.a[j_ch] - st.a[j_pa]
+  j_equal = jnp.asarray(spec.j_limited) & (spec.j_lower == spec.j_upper)
+  j_valid = jnp.asarray(spec.j_valid)
+  # limit state at init (2.3 semantics); accumulated impulse resets on change
+  j_state = jnp.where(
+      ~(j_limited & j_valid), 0,
+      jnp.where(j_equal, 3,
+                jnp.where(j_angle <= j_lower + ANGULAR_SLOP, 1,
+                          jnp.where(j_angle >= j_upper - ANGULAR_SLOP, 2, 0))))
+  j_state = j_state.astype(jnp.int32)
+  j_lim_i = jnp.where(j_state == st.j_state, st.j_lim, 0.0) * j_valid
+
+  # ---- 5. warm start (linear accumulation -> scatter-add) -------------------
+  # wall impulses act only on the body
+  w_P = wc_imp[..., 0:1] * w_n + wc_imp[..., 1:2] * w_t            # (N,W,2,2)
+  v = v + inv_m[:, None] * w_P.sum(axis=(1, 2))
+  w = w + inv_i * cross_vv(w_rB, w_P).sum(axis=(1, 2))
+  # pair impulses
+  p_P = pc_imp[..., 0:1] * p_n + pc_imp[..., 1:2] * p_t            # (P,2,2)
+  pPsum = p_P.sum(axis=1)                                          # (P,2)
+  v = v.at[p_a].add(-inv_m[p_a, None] * pPsum)
+  v = v.at[p_b].add(inv_m[p_b, None] * pPsum)
+  w = w.at[p_a].add(-inv_i[p_a] * cross_vv(p_rA, p_P).sum(axis=1))
+  w = w.at[p_b].add(inv_i[p_b] * cross_vv(p_rB, p_P).sum(axis=1))
+  # joints
+  j_ax = (st.j_mot * j_valid + j_lim_i)
+  jP = st.j_imp * j_valid[:, None]
+  v = v.at[j_pa].add(-j_mA[:, None] * jP)
+  w = w.at[j_pa].add(-j_iA * (cross_vv(j_rA, jP) + j_ax))
+  v = v.at[j_ch].add(j_mB[:, None] * jP)
+  w = w.at[j_ch].add(j_iB * (cross_vv(j_rB, jP) + j_ax))
+
+  j_mot_i = st.j_mot * j_valid
+  j_imp_i = jP
+
+  # ---- 6. velocity iterations ------------------------------------------------
+  def joint_pass(carry):
+    v, w, j_imp, j_mot, j_lim = carry
+
+    def one_joint(vw, j):
+      v, w, j_imp, j_mot, j_lim = vw
+      pa, ch = j_pa[j], j_ch[j]
+      iA, iB, mA, mB = j_iA[j], j_iB[j], j_mA[j], j_mB[j]
+      rA, rB = j_rA[j], j_rB[j]
+      # motor (inactive when limits are equal; reference keeps motors enabled
+      # on every joint, world_env.py:255-267)
+      cdot = w[ch] - w[pa] - motor_speed[j]
+      imp = -j_axmass[j] * cdot
+      cap = max_torque[j] * dt
+      new = jnp.clip(j_mot[j] + imp, -cap, cap)
+      d = jnp.where(j_equal[j], 0.0, new - j_mot[j]) * j_valid[j]
+      j_mot = j_mot.at[j].add(d)
+      w = w.at[pa].add(-iA * d).at[ch].add(iB * d)
+      # limits (Box2D 2.3 state-based accumulator, no speculation)
+      state = j_state[j]
+      cdot = w[ch] - w[pa]
+      imp = -j_axmass[j] * cdot
+      acc = j_lim[j] + imp
+      acc = jnp.where(state == 1, jnp.maximum(acc, 0.0),
+                      jnp.where(state == 2, jnp.minimum(acc, 0.0), acc))
+      d = jnp.where(state > 0, acc - j_lim[j], 0.0) * j_valid[j]
+      j_lim = j_lim.at[j].add(d)
+      w = w.at[pa].add(-iA * d).at[ch].add(iB * d)
+      # point constraint (2x2)
+      cdot = v[ch] + cross_sv(w[ch], rB) - v[pa] - cross_sv(w[pa], rA)
+      k11 = mA + mB + iA * rA[1] ** 2 + iB * rB[1] ** 2
+      k12 = -iA * rA[0] * rA[1] - iB * rB[0] * rB[1]
+      k22 = mA + mB + iA * rA[0] ** 2 + iB * rB[0] ** 2
+      det = k11 * k22 - k12 * k12
+      det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+      P = -jnp.stack([k22 * cdot[0] - k12 * cdot[1],
+                      k11 * cdot[1] - k12 * cdot[0]]) / det
+      P = P * j_valid[j]
+      j_imp = j_imp.at[j].add(P)
+      v = v.at[pa].add(-mA * P).at[ch].add(mB * P)
+      w = w.at[pa].add(-iA * cross_vv(rA, P)).at[ch].add(iB * cross_vv(rB, P))
+      return (v, w, j_imp, j_mot, j_lim), None
+
+    (v, w, j_imp, j_mot, j_lim), _ = jax.lax.scan(
+        one_joint, (v, w, j_imp, j_mot, j_lim),
+        jnp.arange(len(spec.j_parent)))
+    return v, w, j_imp, j_mot, j_lim
+
+  def wall_pass(v, w, wc):
+    # walls touch distinct (body) rows independently: parallel over bodies,
+    # sequential over the W*2 slots within each body
+    def one_slot(carry, idx):
+      v, w, wc = carry
+      wi, k = idx // 2, idx % 2
+      n = wall_n[wi]
+      t = jnp.stack([n[1], -n[0]])
+      rB = w_rB[:, wi, k]                                          # (N,2)
+      dv = v + cross_sv(w, rB)
+      # friction
+      vt = (dv * t).sum(-1)
+      lam = -w_tmass[:, wi, k] * vt
+      maxf = w_mu[:, 0, 0] * wc[:, wi, k, 0]
+      new = jnp.clip(wc[:, wi, k, 1] + lam, -maxf, maxf)
+      d = new - wc[:, wi, k, 1]
+      wc = wc.at[:, wi, k, 1].set(new)
+      P = d[:, None] * t
+      v = v + inv_m[:, None] * P
+      w = w + inv_i * cross_vv(rB, P)
+      # normal
+      dv = v + cross_sv(w, rB)
+      vn = (dv * n).sum(-1)
+      lam = -w_nmass[:, wi, k] * (vn - w_bias[:, wi, k])
+      new = jnp.maximum(wc[:, wi, k, 0] + lam, 0.0)
+      d = new - wc[:, wi, k, 0]
+      wc = wc.at[:, wi, k, 0].set(new)
+      P = d[:, None] * n
+      v = v + inv_m[:, None] * P
+      w = w + inv_i * cross_vv(rB, P)
+      return (v, w, wc), None
+
+    (v, w, wc), _ = jax.lax.scan(one_slot, (v, w, wc), jnp.arange(nw * 2))
+    return v, w, wc
+
+  def pair_pass(v, w, pc):
+    def one_pair(carry, p):
+      v, w, pc = carry
+      a, b = pair_a[p], pair_b[p]
+      n = pairm.normal[p]
+      t = jnp.stack([n[1], -n[0]])
+      imA, imB, iA, iB = p_imA[p, 0], p_imB[p, 0], p_iiA[p, 0], p_iiB[p, 0]
+
+      def one_point(carry, k):
+        v, w, pc = carry
+        rA, rB = p_rA[p, k], p_rB[p, k]
+        dv = v[b] + cross_sv(w[b], rB) - v[a] - cross_sv(w[a], rA)
+        vt = (dv * t).sum(-1)
+        lam = -p_tmass[p, k] * vt
+        maxf = p_mu[p, 0] * pc[p, k, 0]
+        new = jnp.clip(pc[p, k, 1] + lam, -maxf, maxf)
+        d = new - pc[p, k, 1]
+        pc = pc.at[p, k, 1].set(new)
+        P = d * t
+        v = v.at[a].add(-imA * P).at[b].add(imB * P)
+        w = w.at[a].add(-iA * cross_vv(rA, P)).at[b].add(iB * cross_vv(rB, P))
+        dv = v[b] + cross_sv(w[b], rB) - v[a] - cross_sv(w[a], rA)
+        vn = (dv * n).sum(-1)
+        lam = -p_nmass[p, k] * (vn - p_bias[p, k])
+        new = jnp.maximum(pc[p, k, 0] + lam, 0.0)
+        d = new - pc[p, k, 0]
+        pc = pc.at[p, k, 0].set(new)
+        P = d * n
+        v = v.at[a].add(-imA * P).at[b].add(imB * P)
+        w = w.at[a].add(-iA * cross_vv(rA, P)).at[b].add(iB * cross_vv(rB, P))
+        return (v, w, pc), None
+
+      (v, w, pc), _ = jax.lax.scan(one_point, (v, w, pc), jnp.arange(2))
+      return (v, w, pc), None
+
+    (v, w, pc), _ = jax.lax.scan(one_pair, (v, w, pc),
+                                 jnp.arange(len(spec.pair_a)))
+    return v, w, pc
+
+  def vel_iter(_, carry):
+    v, w, j_imp, j_mot, j_lim, wc, pc = carry
+    v, w, j_imp, j_mot, j_lim = joint_pass((v, w, j_imp, j_mot, j_lim))
+    v, w, wc = wall_pass(v, w, wc)
+    v, w, pc = pair_pass(v, w, pc)
+    return v, w, j_imp, j_mot, j_lim, wc, pc
+
+  v, w, j_imp, j_mot, j_lim, wc_imp, pc_imp = jax.lax.fori_loop(
+      0, spec.vel_iters, vel_iter,
+      (v, w, j_imp_i, j_mot_i, j_lim_i, wc_imp, pc_imp))
+
+  # ---- 7. integrate positions --------------------------------------------------
+  c = st.c + dt * v
+  a = st.a + dt * w
+
+  # ---- 8. position iterations (NGS) ---------------------------------------------
+  def pos_iter(_, ca):
+    c, a = ca
+
+    # joints: limit correction then point correction (Box2D order)
+    def one_joint(ca, j):
+      c, a = ca
+      pa, ch = j_pa[j], j_ch[j]
+      iA, iB, mA, mB = j_iA[j], j_iB[j], j_mA[j], j_mB[j]
+      state = j_state[j]
+      ang = a[ch] - a[pa]
+      lo, hi = j_lower[j], j_upper[j]
+      c_eq = jnp.clip(ang - lo, -MAX_ANGULAR_CORRECTION, MAX_ANGULAR_CORRECTION)
+      c_lo = jnp.clip(ang - lo + ANGULAR_SLOP, -MAX_ANGULAR_CORRECTION, 0.0)
+      c_hi = jnp.clip(ang - hi - ANGULAR_SLOP, 0.0, MAX_ANGULAR_CORRECTION)
+      C = jnp.where(state == 3, c_eq,
+                    jnp.where(state == 1, c_lo,
+                              jnp.where(state == 2, c_hi, 0.0)))
+      d = -j_axmass[j] * C
+      a = a.at[pa].add(-iA * d).at[ch].add(iB * d)
+      # point
+      rotA, rotB = rot_mat(a[pa]), rot_mat(a[ch])
+      rA = rotA @ (j_anchor_a[j] - lc_j[pa])
+      rB = rotB @ (j_anchor_b[j] - lc_j[ch])
+      Cv = c[ch] + rB - c[pa] - rA
+      k11 = mA + mB + iA * rA[1] ** 2 + iB * rB[1] ** 2
+      k12 = -iA * rA[0] * rA[1] - iB * rB[0] * rB[1]
+      k22 = mA + mB + iA * rA[0] ** 2 + iB * rB[0] ** 2
+      det = k11 * k22 - k12 * k12
+      det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+      P = -jnp.stack([k22 * Cv[0] - k12 * Cv[1],
+                      k11 * Cv[1] - k12 * Cv[0]]) / det
+      P = P * j_valid[j]
+      c = c.at[pa].add(-mA * P).at[ch].add(mB * P)
+      a = a.at[pa].add(-iA * cross_vv(rA, P)).at[ch].add(iB * cross_vv(rB, P))
+      return (c, a), None
+
+    (c, a), _ = jax.lax.scan(one_joint, (c, a), jnp.arange(len(spec.j_parent)))
+
+    # wall contacts (parallel over bodies, sequential over W*2 slots)
+    def one_wall_slot(ca, idx):
+      c, a = ca
+      wi, k = idx // 2, idx % 2
+      n = wall_n[wi]
+      rot = rot_mat(a)
+      pt = c + jnp.einsum('nij,nj->ni', rot, wallm.lps[:, wi, k])
+      sep = (pt * n).sum(-1) - wall_off[wi] - wallm.rad_sub[:, wi]
+      C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0)
+      rB = pt - c
+      kn = inv_m + inv_i * cross_vv(rB, n[None]) ** 2
+      imp = jnp.where(wallm.touch[:, wi, k], -C / jnp.maximum(kn, 1e-12), 0.0)
+      P = imp[:, None] * n[None]
+      c = c + inv_m[:, None] * P
+      a = a + inv_i * cross_vv(rB, P)
+      return (c, a), None
+
+    (c, a), _ = jax.lax.scan(one_wall_slot, (c, a), jnp.arange(nw * 2))
+
+    # pair contacts
+    def one_pair_slot(ca, idx):
+      c, a = ca
+      p, k = idx // 2, idx % 2
+      ia, ib = pair_a[p], pair_b[p]
+      rotA, rotB = rot_mat(a[ia]), rot_mat(a[ib])
+      mt = pairm.mtype[p]
+      # circles
+      pA0 = c[ia]
+      pB0 = c[ib] + rotB @ pairm.lps[p, 0]
+      d0 = pB0 - pA0
+      dist0 = jnp.linalg.norm(d0)
+      n0 = jnp.where(dist0 > 1e-9, d0 / jnp.maximum(dist0, 1e-9),
+                     jnp.array([0.0, 1.0]))
+      sep0 = dist0 - pairm.rad_sub[p]
+      pt0 = 0.5 * (pA0 + pB0)
+      # faceA
+      nf1 = rotA @ pairm.ln[p]
+      plane1 = c[ia] + rotA @ pairm.lpp[p]
+      clip1 = c[ib] + rotB @ pairm.lps[p, k]
+      sep1 = ((clip1 - plane1) * nf1).sum() - pairm.rad_sub[p]
+      # faceB
+      nf2 = rotB @ pairm.ln[p]
+      plane2 = c[ib] + rotB @ pairm.lpp[p]
+      clip2 = c[ia] + rotA @ pairm.lps[p, k]
+      sep2 = ((clip2 - plane2) * nf2).sum() - pairm.rad_sub[p]
+
+      n = jnp.where(mt == 0, n0, jnp.where(mt == 1, nf1, -nf2))
+      pt = jnp.where(mt == 0, pt0, jnp.where(mt == 1, clip1, clip2))
+      sep = jnp.where(mt == 0, sep0, jnp.where(mt == 1, sep1, sep2))
+
+      C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0)
+      rA = pt - c[ia]
+      rB = pt - c[ib]
+      kn = (inv_m[ia] + inv_m[ib] + inv_i[ia] * cross_vv(rA, n) ** 2
+            + inv_i[ib] * cross_vv(rB, n) ** 2)
+      imp = jnp.where(pairm.touch[p, k], -C / jnp.maximum(kn, 1e-12), 0.0)
+      P = imp * n
+      c = c.at[ia].add(-inv_m[ia] * P).at[ib].add(inv_m[ib] * P)
+      a = a.at[ia].add(-inv_i[ia] * cross_vv(rA, P))
+      a = a.at[ib].add(inv_i[ib] * cross_vv(rB, P))
+      return (c, a), None
+
+    (c, a), _ = jax.lax.scan(one_pair_slot, (c, a),
+                             jnp.arange(len(spec.pair_a) * 2))
+    return c, a
+
+  c, a = jax.lax.fori_loop(0, spec.pos_iters, pos_iter, (c, a))
+
+  # ---- 9. write back -------------------------------------------------------------
+  return st._replace(
+      c=c, a=a, v=v, w=w,
+      wc_imp=jnp.where(wallm.touch[..., None], wc_imp, 0.0),
+      wc_id=jnp.where(wallm.touch, wallm.ids, -1),
+      pc_imp=jnp.where(pairm.touch[..., None], pc_imp, 0.0),
+      pc_id=jnp.where(pairm.touch, pairm.ids, -1),
+      j_imp=j_imp, j_mot=j_mot, j_lim=j_lim, j_state=j_state)

@@ -1,0 +1,102 @@
+"""Model harness: params + optimizer + jitted train step + checkpointing.
+
+Re-architecture of the reference Net base (reference: research/nets/_base.py):
+models are flax modules with a pure `loss_fn(params, batch, rng)`; the harness
+owns optax Adam with global-norm clipping, a jitted update, and save/load that
+embeds the config G alongside the weights (the reference smuggles G into the
+torch state dict, _base.py:26-39).
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class Net:
+  name: str
+
+  def __init__(self, env, G):
+    self.env = env
+    self.G = G
+    self.name = self.__class__.__name__
+    self.key = jax.random.PRNGKey(int(G.get('seed', 0)))
+
+  # -- subclass contract ------------------------------------------------------
+  # self.module : flax module (or None if the model composes several)
+  # self.init_params(key) -> params pytree
+  # self.loss_fn(params, batch, rng) -> (loss, metrics dict)
+
+  def _init(self):
+    self.key, k = jax.random.split(self.key)
+    self.params = self.init_params(k)
+    self.num_vars = sum(np.prod(p.shape) for p in
+                        jax.tree_util.tree_leaves(self.params))
+    tx = [optax.clip_by_global_norm(float(self.G.get('grad_clip', 10.0))),
+          optax.adam(float(self.G.lr))]
+    self.opt = optax.chain(*tx)
+    self.opt_state = self.opt.init(self.params)
+
+    def update(params, opt_state, batch, rng):
+      (loss, metrics), grads = jax.value_and_grad(
+          self.loss_fn, has_aux=True)(params, batch, rng)
+      gnorm = optax.global_norm(grads)
+      updates, opt_state = self.opt.update(grads, opt_state, params)
+      params = optax.apply_updates(params, updates)
+      metrics = dict(metrics)
+      metrics['grad_norm'] = gnorm
+      return params, opt_state, metrics
+
+    def dry(params, batch, rng):
+      _, metrics = self.loss_fn(params, batch, rng)
+      return metrics
+
+    self._update = jax.jit(update)
+    self._dry = jax.jit(dry)
+
+  def _rng(self):
+    self.key, k = jax.random.split(self.key)
+    return k
+
+  def train_step(self, batch, dry=False):
+    """One optimization step (reference: nets/_base.py:18-24)."""
+    if dry:
+      metrics = self._dry(self.params, batch, self._rng())
+    else:
+      self.params, self.opt_state, metrics = self._update(
+          self.params, self.opt_state, batch, self._rng())
+    return metrics
+
+  def save(self, direc):
+    direc = Path(direc)
+    direc.mkdir(parents=True, exist_ok=True)
+    path = direc / f'{self.name}.pkl'
+    blob = {'params': flax.serialization.to_bytes(self.params),
+            'G': dict(self.G)}
+    with open(path, 'wb') as f:
+      pickle.dump(blob, f)
+    print('SAVED MODEL', path)
+
+  def load(self, direc):
+    path = Path(direc) / f'{self.name}.pkl'
+    with open(path, 'rb') as f:
+      blob = pickle.load(f)
+    self.params = flax.serialization.from_bytes(self.params, blob['params'])
+    print(f'LOADED {path}')
+
+  @staticmethod
+  def load_config(direc, name):
+    """Read the config embedded in a checkpoint (for model reconstruction)."""
+    with open(Path(direc) / f'{name}.pkl', 'rb') as f:
+      blob = pickle.load(f)
+    from boxlcd_tpu.utils import AttrDict
+    return AttrDict(blob['G'])
+
+  def evaluate(self, writer, batch, itr):
+    """Override in AE/VideoModel bases; default no-op."""
+    return {}

@@ -1,0 +1,75 @@
+"""Trainer: the generic train loop (reference: research/runners/trainer.py).
+
+batch -> model.train_step -> periodic dry test batch + model.evaluate ->
+periodic save. Loads an optional frozen arbiter for eval metrics
+(reference: trainer.py:43-55).
+"""
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from research import utils
+from research.data import load_ds
+
+
+def load_arbiter(G, env):
+  """Load a frozen arbiter as {'fn': pure apply, 'params': ...} or None."""
+  arbdir = Path(G.arbiterdir)
+  cands = sorted(arbdir.glob('*.frozen.pkl')) if arbdir.is_dir() else []
+  if not cands:
+    return None
+  import flax
+  from boxlcd_tpu.utils import AttrDict
+  from research.nets.autoencoders.multistep_arbiter import MultiStepArbiter
+  with open(cands[0], 'rb') as f:
+    blob = pickle.load(f)
+  model = MultiStepArbiter(env, AttrDict(blob['G']))
+  params = flax.serialization.from_bytes(model.params, blob['params'])
+
+  def fn(params, batch):
+    return model.forward_frozen(params, batch)
+
+  print('LOADED ARBITER', cands[0])
+  return {'fn': fn, 'params': params}
+
+
+class Trainer:
+  def __init__(self, model, env, G):
+    self.model = model
+    self.env = env
+    self.G = G
+    self.writer = utils.make_writer(G.logdir)
+    self.train_ds, self.test_ds = load_ds(G)
+    self.logger = utils.AutoLogger()
+    self.arbiter = load_arbiter(G, env)
+    self.b = lambda batch: {k: jnp.asarray(v) for k, v in batch.items()}
+
+  def run(self):
+    G = self.G
+    last_save = time.time()
+    train_iter = iter(self.train_ds)
+    test_iter = iter(self.test_ds)
+    for itr in range(1, int(G.total_itr) + 1):
+      with utils.Timer(self.logger, 'sample_batch'):
+        batch = self.b(next(train_iter))
+      with utils.Timer(self.logger, 'train_step'):
+        metrics = self.model.train_step(batch)
+      self.logger.update(metrics)
+      if itr % G.log_n == 0 or itr == 1:
+        with utils.Timer(self.logger, 'test'):
+          test_batch = self.b(next(test_iter))
+          tm = self.model.train_step(test_batch, dry=True)
+          self.logger.update({f'test/{k}': v for k, v in tm.items()})
+          em = self.model.evaluate(self.writer, test_batch, itr,
+                                   arbiter=self.arbiter)
+          self.logger.update(em)
+        utils.dump_logger(self.logger, self.writer, itr, G)
+      if time.time() - last_save > 300 or itr % (G.log_n * G.save_n) == 0:
+        self.model.save(G.logdir)
+        last_save = time.time()
+    self.model.save(G.logdir)

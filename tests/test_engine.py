@@ -1,0 +1,96 @@
+"""Engine cross-validation against the CPU Box2D oracle.
+
+The reference has no test suite (SURVEY.md §4); these tests are the golden
+behavioral contract: starting both engines from identical poses, trajectories
+must agree within contact-resolution tolerance.
+"""
+import numpy as np
+import pytest
+
+import boxlcd_tpu
+from boxlcd_tpu.engine import physics
+from tests.oracle import HAVE_BOX2D, Box2DOracle
+
+import jax
+import jax.numpy as jnp
+
+
+def rollout_pair(env_name, steps, seed=0, action_fn=None, iters=None):
+  """Run our engine and the Box2D oracle from the same initial state."""
+  G = {}
+  if iters:
+    G = {'vel_iters': iters[0], 'pos_iters': iters[1]}
+  env = boxlcd_tpu.env_map[env_name](G)
+  oracle = Box2DOracle(env)
+  env.seed(seed)
+  env.reset()
+  st = env.state
+  origin = np.asarray(physics.origin_pos(env.spec, st))
+  angle = np.asarray(st.a)
+  is_circle = np.asarray(st.is_circle)
+  oracle.reset_from(origin, angle, is_circle)
+
+  rng = np.random.RandomState(seed)
+  ours, theirs = [], []
+  for t in range(steps):
+    act = (action_fn(rng) if action_fn else np.zeros(env.act_size))
+    env.step(act)
+    oracle.step(act)
+    o = np.asarray(physics.origin_pos(env.spec, env.state))
+    g, ga = oracle.poses()
+    ours.append((o, np.asarray(env.state.a)))
+    theirs.append((g, ga))
+  return env, ours, theirs
+
+
+@pytest.mark.skipif(not HAVE_BOX2D, reason='pybox2d not available')
+@pytest.mark.parametrize('env_name,steps,tol', [
+    ('Dropbox', 25, 0.08),
+    ('Bounce', 50, 0.30),
+])
+def test_passive_golden(env_name, steps, tol):
+  env, ours, theirs = rollout_pair(env_name, steps)
+  errs = [np.abs(o[0] - t[0]).max() for o, t in zip(ours, theirs)]
+  # mean position error across the episode within tolerance (world is 5x5m)
+  assert np.mean(errs) < tol, f'mean traj err {np.mean(errs):.3f}'
+
+
+@pytest.mark.skipif(not HAVE_BOX2D, reason='pybox2d not available')
+def test_urchin_golden():
+  """Actuated robot vs Box2D over a short horizon (the dynamics are chaotic,
+  so long-horizon pointwise comparison is meaningless — see SURVEY.md §7 on
+  the trajectory-divergence metric)."""
+  env, ours, theirs = rollout_pair(
+      'Urchin', 10,
+      action_fn=lambda rng: rng.uniform(-1, 1, 3).astype(np.float32))
+  errs = [np.abs(o[0] - t[0]).max() for o, t in zip(ours, theirs)]
+  assert errs[0] < 0.15, f'step-0 err {errs[0]:.3f}'
+  assert np.mean(errs) < 0.5, f'mean traj err {np.mean(errs):.3f}'
+
+
+def test_energy_sanity():
+  """A resting box must stay put; no explosion, no sinking through floor."""
+  env = boxlcd_tpu.env_map['Dropbox']()
+  env.seed(3)
+  env.reset()
+  ys = []
+  for _ in range(25):
+    env.step(np.zeros(env.act_size))
+    ys.append(float(physics.origin_pos(env.spec, env.state)[0, 1]))
+  # settled on the floor: y ~ half-size (0.7) and stable at the end
+  assert 0.5 < ys[-1] < 0.95, f'final y {ys[-1]}'
+  assert abs(ys[-1] - ys[-5]) < 0.02
+
+
+def test_vmap_batching():
+  """Batched reset/step over a worlds axis must work and stay finite."""
+  env = boxlcd_tpu.env_map['Urchin']()
+  B = 16
+  keys = jax.random.split(jax.random.PRNGKey(0), B)
+  states = jax.vmap(lambda k: boxlcd_tpu.Env.reset(env, k))(keys)
+  acts = jnp.zeros((B, env.act_size))
+  step = jax.jit(jax.vmap(lambda s, a: boxlcd_tpu.Env.step(env, s, a)[0]))
+  for _ in range(5):
+    states = step(states, acts)
+  assert bool(jnp.isfinite(states.c).all())
+  assert states.c.shape == (B, env.spec.n, 2)
