@@ -1,0 +1,71 @@
+"""Headline benchmark: batched env steps/sec on TPU (Urchin @ 4096 worlds).
+
+Runs the data-collection hot path — physics step + LCD render + obs packing —
+as one jitted scan over time, vmapped over worlds, on the real chip. Prints
+ONE JSON line. Baseline: the reference collects ~1.7k env-steps/s/core on CPU
+(BASELINE.md: 10k Bounce rollouts in ~5 min, single process).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+# the real TPU (ambient JAX_PLATFORMS=axon); fall back to cpu if unavailable
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import boxlcd_tpu
+from boxlcd_tpu.envs.env import Env
+
+REFERENCE_STEPS_PER_SEC = 1700.0  # examples/README.md:33 (CPU, single proc)
+
+
+def main():
+  B = int(os.environ.get('BENCH_WORLDS', 4096))
+  T = int(os.environ.get('BENCH_STEPS', 50))
+  env = boxlcd_tpu.env_map['Urchin']()
+
+  def one_chunk(states, key):
+    """T env steps incl. observation (lcd render) per step."""
+    def step(carry, k):
+      states = carry
+      acts = jax.random.uniform(k, (B, env.act_size), minval=-1, maxval=1)
+      def sstep(s, a):
+        ns, obs, rew, done, _ = Env.step(env, s, a)
+        return ns, obs['lcd']
+      states, lcds = jax.vmap(sstep)(states, acts)
+      return states, lcds.sum()  # consume obs so rendering isn't DCE'd
+    keys = jax.random.split(key, T)
+    states, sums = jax.lax.scan(step, states, keys)
+    return states, sums.sum()
+
+  jchunk = jax.jit(one_chunk)
+  keys = jax.random.split(jax.random.PRNGKey(0), B)
+  states = jax.jit(jax.vmap(lambda k: Env.reset(env, k)))(keys)
+
+  # warmup/compile
+  states, s = jchunk(states, jax.random.PRNGKey(1))
+  jax.block_until_ready(s)
+
+  t0 = time.time()
+  iters = 3
+  for i in range(iters):
+    states, s = jchunk(states, jax.random.PRNGKey(2 + i))
+  jax.block_until_ready(s)
+  dt = time.time() - t0
+  steps_per_sec = B * T * iters / dt
+
+  print(json.dumps({
+      'metric': 'env_steps_per_sec_urchin_4096',
+      'value': round(steps_per_sec, 1),
+      'unit': 'env-steps/s',
+      'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+  }))
+
+
+if __name__ == '__main__':
+  main()

@@ -96,11 +96,12 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
   return key
 
 
-def collect(env_fn, G):
-  """Entry point mirroring the reference CLI mode (research/main.py:72-74)."""
+def collect(env_thunk, G):
+  """Entry point mirroring the reference CLI mode (research/main.py:72-74).
+  env_thunk: zero-arg callable producing the env."""
   start = time.time()
   G.logdir.mkdir(parents=True, exist_ok=True)
-  env = env_fn(G)()
+  env = env_thunk()
   key = jax.random.PRNGKey(int(G.get('seed', 0)))
   key = fill_barrels(env, int(G.test_barrels), 'test', G, key)
   fill_barrels(env, int(G.train_barrels), 'train', G, key)

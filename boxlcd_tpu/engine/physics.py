@@ -65,6 +65,10 @@ class WorldState(NamedTuple):
   j_mot: jnp.ndarray      # (J,) motor impulse
   j_lim: jnp.ndarray      # (J,) limit impulse (Box2D 2.3 single accumulator)
   j_state: jnp.ndarray    # (J,) int32 limit state: 0 inactive, 1 lower, 2 upper, 3 equal
+  j_ref: jnp.ndarray      # (J,) reference angle, set at reset: pybox2d's
+                          # revoluteJointDef(bodyA=..., bodyB=...) initializes
+                          # referenceAngle to the spawn relative angle, so
+                          # limits are relative to the spawn configuration
 
 
 def init_state(spec: WorldSpec) -> WorldState:
@@ -79,7 +83,8 @@ def init_state(spec: WorldSpec) -> WorldState:
       wc_imp=jnp.zeros((n, nw, 2, 2)), wc_id=jnp.full((n, nw, 2), -1, jnp.int32),
       pc_imp=jnp.zeros((p, 2, 2)), pc_id=jnp.full((p, 2), -1, jnp.int32),
       j_imp=jnp.zeros((j, 2)), j_mot=jnp.zeros(j),
-      j_lim=jnp.zeros(j), j_state=jnp.zeros(j, jnp.int32))
+      j_lim=jnp.zeros(j), j_state=jnp.zeros(j, jnp.int32),
+      j_ref=jnp.zeros(j))
 
 
 def body_inv_mass(spec: WorldSpec, is_circle):
@@ -225,7 +230,7 @@ def _substep(spec: WorldSpec, st: WorldState, motor_speed, max_torque
   j_axmass_raw = j_iA + j_iB
   j_axmass = jnp.where(j_axmass_raw > 0, 1.0 / jnp.maximum(j_axmass_raw, 1e-12), 0.0)
   j_axmass = j_axmass * jnp.asarray(spec.j_valid)
-  j_angle = st.a[j_ch] - st.a[j_pa]
+  j_angle = st.a[j_ch] - st.a[j_pa] - st.j_ref
   j_equal = jnp.asarray(spec.j_limited) & (spec.j_lower == spec.j_upper)
   j_valid = jnp.asarray(spec.j_valid)
   # limit state at init (2.3 semantics); accumulated impulse resets on change
@@ -407,7 +412,7 @@ def _substep(spec: WorldSpec, st: WorldState, motor_speed, max_torque
       pa, ch = j_pa[j], j_ch[j]
       iA, iB, mA, mB = j_iA[j], j_iB[j], j_mA[j], j_mB[j]
       state = j_state[j]
-      ang = a[ch] - a[pa]
+      ang = a[ch] - a[pa] - st.j_ref[j]
       lo, hi = j_lower[j], j_upper[j]
       c_eq = jnp.clip(ang - lo, -MAX_ANGULAR_CORRECTION, MAX_ANGULAR_CORRECTION)
       c_lo = jnp.clip(ang - lo + ANGULAR_SLOP, -MAX_ANGULAR_CORRECTION, 0.0)

@@ -113,7 +113,12 @@ class Env:
         origin = origin.at[i].set(origin[parent] + aa - ab)
         angle = angle.at[i].set(mangle)
     c = physics.com_from_origin(s, is_circle, origin, angle)
-    return st._replace(c=c, a=angle, is_circle=is_circle)
+    # joint reference angles: pybox2d initializes referenceAngle to the spawn
+    # relative angle when bodyA/bodyB are passed to revoluteJointDef, making
+    # limits relative to the spawn configuration (see engine/physics.py)
+    j_ref = angle[jnp.asarray(s.j_child)] - angle[jnp.asarray(s.j_parent)]
+    j_ref = j_ref * jnp.asarray(s.j_valid)
+    return st._replace(c=c, a=angle, is_circle=is_circle, j_ref=j_ref)
 
   def teleport(self, key, full_state=None, proprio=None) -> physics.WorldState:
     """Reset then overwrite poses from a (normalized) state vector.

@@ -60,6 +60,16 @@ def main(argv=None):
   elif G.mode == 'eval':
     from research.runners import Evaler
     Evaler(None, env, G).run()
+  elif G.mode in ('viz', 'fiddle'):
+    from research.nets import net_map
+    from research.nets._base import Net
+    from research.runners import Fiddler, Vizer
+    mG = Net.load_config(G.weightdir, G.model)
+    mG.update(logdir=G.logdir, weightdir=G.weightdir, datadir=G.datadir)
+    model = net_map[G.model](env, mG)
+    model.load(G.weightdir)
+    runner = Vizer(model, env, G) if G.mode == 'viz' else Fiddler(model, env, G)
+    runner.run()
   else:
     raise ValueError(f'unknown mode {G.mode}')
 

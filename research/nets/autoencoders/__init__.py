@@ -9,6 +9,7 @@ from research.nets.autoencoders.rnlda import RNLDA
 from research.nets.autoencoders.arbiter import ArbiterAE
 from research.nets.autoencoders.multistep_arbiter import MultiStepArbiter
 from research.nets.autoencoders.object_localizer import ObjectLocalizer
+from research.nets.autoencoders.vqvae import VQVAE
 
 ae_map = {}
 for _name, _obj in list(globals().items()):

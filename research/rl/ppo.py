@@ -1,0 +1,165 @@
+"""PPO: clipped-ratio policy gradient with GAE (reference: research/rl/ppo.py).
+
+Same semantics — per-env paths finished on done, 80 pi iters with target-KL
+early stop + 80 v iters per epoch — with jitted update steps and batched
+on-device envs.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from research import utils
+from research.rl._base import RLAlgo
+from research.rl.buffers import PPOBuffer
+from research.rl.nets import PPOActorCritic, gaussian_logp
+
+
+class PPO(RLAlgo):
+  def __init__(self, G):
+    super().__init__(G)
+    obs_space = self.obs_space
+    act_dim = self.act_space.shape[-1]
+    state_size = obs_space[G.state_key].shape[-1]
+    self.ac = PPOActorCritic(act_dim, G.state_key, self.goal_key, state_size,
+                             G.hidden_size)
+    self.key = jax.random.PRNGKey(G.seed)
+    dummy = {G.state_key: jnp.zeros((1, state_size)),
+             self.goal_key: jnp.zeros((1, obs_space[self.goal_key].shape[-1]))}
+    self.key, k = jax.random.split(self.key)
+    self.params = self.ac.init(k, dummy)
+    self.pi_opt = optax.adam(G.pi_lr)
+    self.v_opt = optax.adam(G.vf_lr)
+    self.pi_state = self.pi_opt.init(self.params)
+    self.v_state = self.v_opt.init(self.params)
+
+    obs_shapes = {G.state_key: obs_space[G.state_key].shape[-1:],
+                  self.goal_key: obs_space[self.goal_key].shape[-1:]}
+    self.steps_per_epoch = G.steps_per_epoch // G.num_envs
+    self.buf = PPOBuffer(obs_shapes, act_dim, G.num_envs,
+                         self.steps_per_epoch, G.gamma, G.lam)
+    self._build()
+
+  def _build(self):
+    G, ac = self.G, self.ac
+
+    def step_fn(params, obs, key):
+      mu, std = ac.apply(params, obs, method='policy')
+      a = mu + std * jax.random.normal(key, mu.shape)
+      logp = gaussian_logp(mu, std, a)
+      v = ac.apply(params, obs, method='value')
+      return a, v, logp
+
+    def act_fn(params, obs, deterministic):
+      mu, std = ac.apply(params, obs, method='policy')
+      return mu
+
+    def pi_loss(params, batch):
+      mu, std = ac.apply(params, batch['obs'], method='policy')
+      logp = gaussian_logp(mu, std, batch['act'])
+      ratio = jnp.exp(logp - batch['logp'])
+      clip_adv = jnp.clip(ratio, 1 - G.clip_ratio, 1 + G.clip_ratio) \
+          * batch['adv']
+      loss = -jnp.minimum(ratio * batch['adv'], clip_adv).mean()
+      kl = (batch['logp'] - logp).mean()
+      ent = (0.5 * (1 + jnp.log(2 * jnp.pi)) + jnp.log(std)).sum(-1).mean()
+      return loss, (kl, ent)
+
+    def v_loss(params, batch):
+      v = ac.apply(params, batch['obs'], method='value')
+      return ((v - batch['ret']) ** 2).mean()
+
+    def pi_update(params, opt_state, batch):
+      (loss, (kl, ent)), grads = jax.value_and_grad(
+          pi_loss, has_aux=True)(params, batch)
+      updates, opt_state = self.pi_opt.update(grads, opt_state, params)
+      return optax.apply_updates(params, updates), opt_state, loss, kl, ent
+
+    def v_update(params, opt_state, batch):
+      loss, grads = jax.value_and_grad(v_loss)(params, batch)
+      updates, opt_state = self.v_opt.update(grads, opt_state, params)
+      return optax.apply_updates(params, updates), opt_state, loss
+
+    self._step = jax.jit(step_fn)
+    self._act = jax.jit(act_fn, static_argnums=2)
+    self._pi_update = jax.jit(pi_update)
+    self._v_update = jax.jit(v_update)
+
+  def _obs_subset(self, o):
+    return {self.G.state_key: jnp.asarray(o[self.G.state_key], jnp.float32),
+            self.goal_key: jnp.asarray(o[self.goal_key], jnp.float32)}
+
+  def get_av(self, o):
+    self.key, k = jax.random.split(self.key)
+    return self._step(self.params, self._obs_subset(o), k)
+
+  def get_a(self, o, deterministic=False):
+    return self._act(self.params, self._obs_subset(o), deterministic)
+
+  def update(self):
+    """80 pi iters w/ KL early stop + 80 v iters (reference: ppo.py:71-105)."""
+    data = self.buf.get()
+    batch = {'obs': {k: jnp.asarray(v) for k, v in data['obs'].items()},
+             'act': jnp.asarray(data['act']), 'ret': jnp.asarray(data['ret']),
+             'adv': jnp.asarray(data['adv']), 'logp': jnp.asarray(data['logp'])}
+    for i in range(self.G.train_pi_iters):
+      self.params, self.pi_state, loss, kl, ent = self._pi_update(
+          self.params, self.pi_state, batch)
+      if float(kl) > 1.5 * self.G.target_kl:
+        break
+    self.logger['loss/pi'] = float(loss)
+    self.logger['kl'] = float(kl)
+    self.logger['entropy'] = float(ent)
+    self.logger['stop_iter'] = i
+    for _ in range(self.G.train_v_iters):
+      self.params, self.v_state, vloss = self._v_update(
+          self.params, self.v_state, batch)
+    self.logger['loss/v'] = float(vloss)
+
+  def run(self):
+    G = self.G
+    epochs = int(G.total_steps) // G.steps_per_epoch
+    o = self.env.reset()
+    ep_ret = np.zeros(G.num_envs)
+    ep_len = np.zeros(G.num_envs)
+    for epoch in range(epochs):
+      ep_start = time.time()
+      for t in range(self.steps_per_epoch):
+        a, v, logp = self.get_av(o)
+        a_np = np.asarray(a)
+        next_o, rew, done, info = self.env.step(a_np)
+        rew = np.asarray(rew)
+        done = np.asarray(done)
+        self.buf.store_n(
+            {k: np.asarray(val) for k, val in self._obs_subset(o).items()},
+            a_np, rew, np.asarray(v), np.asarray(logp))
+        ep_ret += rew
+        ep_len += 1
+        o = next_o
+        epoch_end = t == self.steps_per_epoch - 1
+        for i in range(G.num_envs):
+          if done[i] or epoch_end:
+            if done[i]:
+              last_val = 0.0
+              self.logger['EpRet'] = ep_ret[i]
+              self.logger['EpLen'] = ep_len[i]
+              ep_ret[i] = 0
+              ep_len[i] = 0
+            else:
+              _, v_i, _ = self.get_av(
+                  {k: np.asarray(val)[i:i + 1]
+                   for k, val in self._obs_subset(o).items()})
+              last_val = float(np.asarray(v_i)[0])
+            self.buf.finish_path(i, last_val)
+      self.update()
+      self.logger['dt/epoch'] = time.time() - ep_start
+      if epoch % G.test_n == 0:
+        self.test_agent(epoch)
+        if G.lenv:
+          self.test_agent(epoch, use_lenv=True)
+        utils.dump_logger(self.logger, self.writer, epoch * G.steps_per_epoch,
+                          G)

@@ -1,0 +1,162 @@
+"""SAC: twin-Q soft actor-critic with learned temperature
+(reference: research/rl/sac.py). FIFO replay, polyak targets, timeout-aware
+done masking; jitted update step."""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from research import utils
+from research.rl._base import RLAlgo
+from research.rl.buffers import ReplayBuffer
+from research.rl.nets import SACNets
+
+
+class SAC(RLAlgo):
+  def __init__(self, G):
+    super().__init__(G)
+    obs_space = self.obs_space
+    act_dim = self.act_space.shape[-1]
+    state_size = obs_space[G.state_key].shape[-1]
+    self.net = SACNets(act_dim, G.state_key, self.goal_key, state_size,
+                       G.hidden_size)
+    self.key = jax.random.PRNGKey(G.seed)
+    dummy_obs = {G.state_key: jnp.zeros((1, state_size)),
+                 self.goal_key: jnp.zeros((1, obs_space[self.goal_key].shape[-1]))}
+    self.key, k1 = jax.random.split(self.key)
+    self.params = self.net.init(k1, dummy_obs, jnp.zeros((1, act_dim)), k1)
+    self.target_params = self.params
+    self.log_alpha = jnp.asarray(np.log(G.alpha))
+    self.target_ent = -act_dim
+    self.pi_opt = optax.adam(G.pi_lr)
+    self.q_opt = optax.adam(G.vf_lr)
+    self.a_opt = optax.adam(G.alpha_lr)
+    self.pi_state = self.pi_opt.init(self.params)
+    self.q_state = self.q_opt.init(self.params)
+    self.a_state = self.a_opt.init(self.log_alpha)
+    obs_shapes = {G.state_key: obs_space[G.state_key].shape[-1:],
+                  self.goal_key: obs_space[self.goal_key].shape[-1:]}
+    self.buf = ReplayBuffer(obs_shapes, act_dim, int(G.replay_size))
+    self.rng = np.random.RandomState(G.seed)
+    self._build()
+
+  def _build(self):
+    G, net = self.G, self.net
+
+    def act_fn(params, obs, key, deterministic):
+      a, _ = net.apply(params, obs, key, deterministic, method='actor')
+      return a
+
+    def q_loss(params, target_params, log_alpha, batch, key):
+      alpha = jnp.exp(log_alpha)
+      q1, q2 = net.apply(params, batch['obs'], batch['act'], method='qs')
+      a2, logp2 = net.apply(target_params, batch['obs2'], key, False,
+                            method='actor')
+      tq1, tq2 = net.apply(target_params, batch['obs2'], a2, method='qs')
+      tq = jnp.minimum(tq1, tq2)
+      done = batch['done'] if G.use_done else jnp.zeros_like(batch['done'])
+      backup = batch['rew'] + G.gamma * (1 - done) * (tq - alpha * logp2)
+      backup = jax.lax.stop_gradient(backup)
+      return ((q1 - backup) ** 2).mean() + ((q2 - backup) ** 2).mean(), \
+          (q1.mean(), q2.mean())
+
+    def pi_loss(params, log_alpha, batch, key):
+      alpha = jnp.exp(log_alpha)
+      a, logp = net.apply(params, batch['obs'], key, False, method='actor')
+      q1, q2 = net.apply(jax.lax.stop_gradient(params), batch['obs'], a,
+                         method='qs')
+      q = jnp.minimum(q1, q2)
+      return (alpha * logp - q).mean(), logp
+
+    def alpha_loss(log_alpha, logp):
+      return -(jnp.exp(log_alpha)
+               * jax.lax.stop_gradient(logp + self.target_ent)).mean()
+
+    def update(params, target_params, log_alpha, pi_state, q_state, a_state,
+               batch, key):
+      k1, k2 = jax.random.split(key)
+      (ql, (q1m, q2m)), qg = jax.value_and_grad(q_loss, has_aux=True)(
+          params, target_params, log_alpha, batch, k1)
+      updates, q_state = self.q_opt.update(qg, q_state, params)
+      params = optax.apply_updates(params, updates)
+      (pl, logp), pg = jax.value_and_grad(pi_loss, has_aux=True)(
+          params, log_alpha, batch, k2)
+      updates, pi_state = self.pi_opt.update(pg, pi_state, params)
+      params = optax.apply_updates(params, updates)
+      if G.learned_alpha:
+        al, ag = jax.value_and_grad(alpha_loss)(log_alpha, logp)
+        updates, a_state = self.a_opt.update(ag, a_state, log_alpha)
+        log_alpha = optax.apply_updates(log_alpha, updates)
+      else:
+        al = 0.0
+      target_params = jax.tree_util.tree_map(
+          lambda t, p: G.polyak * t + (1 - G.polyak) * p, target_params,
+          params)
+      metrics = {'loss/q': ql, 'loss/pi': pl, 'loss/alpha': al,
+                 'q1': q1m, 'q2': q2m, 'alpha': jnp.exp(log_alpha),
+                 'logp': logp.mean()}
+      return params, target_params, log_alpha, pi_state, q_state, a_state, \
+          metrics
+
+    self._act = jax.jit(act_fn, static_argnums=3)
+    self._update = jax.jit(update)
+
+  def _obs_subset(self, o):
+    return {self.G.state_key: np.asarray(o[self.G.state_key], np.float32),
+            self.goal_key: np.asarray(o[self.goal_key], np.float32)}
+
+  def get_a(self, o, deterministic=False):
+    self.key, k = jax.random.split(self.key)
+    obs = {k2: jnp.asarray(v) for k2, v in self._obs_subset(o).items()}
+    return self._act(self.params, obs, k, deterministic)
+
+  def run(self):
+    G = self.G
+    o = self.env.reset()
+    ep_ret = np.zeros(G.num_envs)
+    ep_len = np.zeros(G.num_envs)
+    t0 = time.time()
+    for t in range(0, int(G.total_steps), G.num_envs):
+      if t < G.start_steps:
+        a = np.random.uniform(-1, 1,
+                              (G.num_envs, self.act_space.shape[-1]))
+      else:
+        a = np.asarray(self.get_a(o))
+      o2, rew, done, info = self.env.step(a)
+      rew, done = np.asarray(rew), np.asarray(done)
+      if isinstance(info, list):
+        timeout = np.array([i['timeout'] for i in info])
+      else:
+        timeout = np.asarray(info['timeout'])
+      store_done = done & ~timeout  # timeout is not a true terminal
+      self.buf.store_n(self._obs_subset(o), a, rew, self._obs_subset(o2),
+                       store_done.astype(np.float32))
+      ep_ret += rew
+      ep_len += 1
+      for i in np.nonzero(done)[0]:
+        self.logger['EpRet'] = ep_ret[i]
+        self.logger['EpLen'] = ep_len[i]
+        ep_ret[i] = 0
+        ep_len[i] = 0
+      o = o2
+      if t >= G.update_after and (t // G.num_envs) % \
+          max(1, G.update_every // G.num_envs) == 0:
+        for _ in range(G.update_every):
+          batch = self.buf.sample_batch(self.rng, G.bs)
+          batch = jax.tree_util.tree_map(jnp.asarray, batch)
+          self.key, k = jax.random.split(self.key)
+          (self.params, self.target_params, self.log_alpha, self.pi_state,
+           self.q_state, self.a_state, metrics) = self._update(
+              self.params, self.target_params, self.log_alpha, self.pi_state,
+              self.q_state, self.a_state, batch, k)
+        self.logger.update({k2: float(v) for k2, v in metrics.items()})
+      if (t // G.num_envs) % max(1, 4000 // G.num_envs) == 0 and t > 0:
+        self.test_agent(t)
+        if G.lenv:
+          self.test_agent(t, use_lenv=True)
+        self.logger['fps'] = t / (time.time() - t0)
+        utils.dump_logger(self.logger, self.writer, t, G)

@@ -17,7 +17,7 @@ import numpy as np
 
 from research import metrics as M
 from research import utils
-from research.data import load_ds
+from boxlcd_tpu.data import load_ds
 from research.runners.trainer import load_arbiter
 
 

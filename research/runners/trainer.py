@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from research import utils
-from research.data import load_ds
+from boxlcd_tpu.data import load_ds
 
 
 def load_arbiter(G, env):

