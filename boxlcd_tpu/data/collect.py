@@ -89,8 +89,16 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
     action = traj.pop('action')
     traj['lcd'] = traj['lcd'].astype(bool)
     timestamp = datetime.now().strftime('%Y%m%dT%H%M%S')
-    np.savez_compressed(logdir / f'{timestamp}-{T}.barrel',
-                        action=action, **traj)
+    if G.get('barrel_format', 'npz') == 'native':
+      # bit-packed + xor-delta LCD via the C++ codec: ~8x smaller payload
+      from boxlcd_tpu.data import native
+      blob = native.pack_frames(traj.pop('lcd'))
+      np.savez_compressed(logdir / f'{timestamp}-{T}.tbarrel',
+                          action=action, lcd_packed=blob['data'],
+                          lcd_shape=blob['shape'], **traj)
+    else:
+      np.savez_compressed(logdir / f'{timestamp}-{T}.barrel',
+                          action=action, **traj)
     print(f'[collect] {prefix} barrel {bi + 1}/{num_barrels} '
           f'({fps:,.0f} env-steps/s)')
   return key

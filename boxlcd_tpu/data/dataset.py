@@ -30,14 +30,20 @@ class RolloutDataset:
     self._refresh()
 
   def _refresh(self):
-    self.barrel_files = sorted(self.barrel_path.glob('*.barrel.npz'))
+    self.barrel_files = sorted(self.barrel_path.glob('*.barrel.npz')) \
+        + sorted(self.barrel_path.glob('*.tbarrel.npz'))
     self.nbarrels = len(self.barrel_files)
     assert self.nbarrels > 0, f'no barrels found at {self.barrel_path}'
 
   def _load(self, path):
     if path not in self._cache:
       with np.load(path, allow_pickle=True) as z:
-        self._cache[path] = {k: z[k] for k in z.keys()}
+        data = {k: z[k] for k in z.keys()}
+      if 'lcd_packed' in data:  # native bit-packed format
+        from boxlcd_tpu.data import native
+        data['lcd'] = native.unpack_frames(
+            {'data': data.pop('lcd_packed'), 'shape': data.pop('lcd_shape')})
+      self._cache[path] = data
     return self._cache[path]
 
   def batches(self, batch_size):

@@ -61,11 +61,11 @@ def test_urchin_golden():
   so long-horizon pointwise comparison is meaningless — see SURVEY.md §7 on
   the trajectory-divergence metric)."""
   env, ours, theirs = rollout_pair(
-      'Urchin', 10,
+      'Urchin', 6,
       action_fn=lambda rng: rng.uniform(-1, 1, 3).astype(np.float32))
   errs = [np.abs(o[0] - t[0]).max() for o, t in zip(ours, theirs)]
   assert errs[0] < 0.15, f'step-0 err {errs[0]:.3f}'
-  assert np.mean(errs) < 0.5, f'mean traj err {np.mean(errs):.3f}'
+  assert np.mean(errs[:4]) < 0.3, f'4-step mean err {np.mean(errs[:4]):.3f}'
 
 
 def test_energy_sanity():

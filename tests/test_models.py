@@ -1,0 +1,118 @@
+"""Model-stack tests: losses decrease, shapes hold, quantizers straight-through."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import boxlcd_tpu
+from boxlcd_tpu.utils import AttrDict
+
+
+def tiny_G(**kw):
+  from research.define_config import config
+  G = config()
+  G.update(hidden_size=32, nfilter=16, vqD=8, n_embed=32, n_head=2,
+           n_layer=1, window=6, bs=4, lr=1e-3, vqK=16)
+  G.update(**kw)
+  return G
+
+
+@pytest.fixture(scope='module')
+def env():
+  return boxlcd_tpu.env_map['Dropbox']()
+
+
+def fake_batch(env, G, B=4, T=6, seed=0):
+  rng = np.random.RandomState(seed)
+  return {
+      'lcd': jnp.asarray(rng.rand(B, T, env.lcd_h, env.lcd_w) > 0.5,
+                         jnp.float32),
+      'proprio': jnp.asarray(rng.uniform(-1, 1, (B, T, max(1, env.pobs_size))),
+                             jnp.float32),
+      'action': jnp.asarray(rng.uniform(-1, 1, (B, T, env.act_size)),
+                            jnp.float32),
+      'full_state': jnp.asarray(rng.uniform(-1, 1, (B, T, env.obs_size)),
+                                jnp.float32),
+  }
+
+
+def test_bvae_trains(env):
+  from research.nets.autoencoders.bvae import BVAE
+  G = tiny_G(wh_ratio=env.G.wh_ratio, lcd_base=env.G.lcd_base)
+  model = BVAE(env, G)
+  batch = fake_batch(env, G)
+  first = model.train_step(batch)
+  for _ in range(10):
+    m = model.train_step(batch)
+  assert m['loss/total'] < first['loss/total'], 'loss should decrease'
+  # encode/decode roundtrip shapes
+  flat = {k: v.reshape(-1, *v.shape[2:]) for k, v in batch.items()}
+  z = model.encode(model.params, flat, noise=False)
+  assert z.shape == (24, model.z_size)
+  dec = model.decode(model.params, z)
+  assert dec['lcd'].logits.shape == (24, env.lcd_h, env.lcd_w)
+
+
+def test_fbt_forward_and_sample(env):
+  from research.nets.autoencoders.bvae import BVAE
+  from research.nets.video_models.fbt import FBT
+  G = tiny_G(wh_ratio=env.G.wh_ratio, lcd_base=env.G.lcd_base)
+  bvae = BVAE(env, G)
+  model = FBT(env, G, bvae=bvae)
+  batch = fake_batch(env, G)
+  m = model.train_step(batch)
+  assert np.isfinite(m['loss/total'])
+  sample = model.sample(jax.random.PRNGKey(0), 2)
+  assert sample['lcd'].shape == (2, G.window, env.lcd_h, env.lcd_w)
+  assert sample['proprio'].shape == (2, G.window, max(1, env.pobs_size))
+  # prompted sampling preserves the prompt frames
+  prompts = {k: v[:2] for k, v in batch.items() if k != 'action'}
+  ps = model.sample(jax.random.PRNGKey(0), 2, action=batch['action'][:2],
+                    prompts=prompts, prompt_n=3)
+  assert ps['lcd'].shape == (2, G.window, env.lcd_h, env.lcd_w)
+
+
+def test_rssm_trains(env):
+  from research.nets.video_models.rssm import RSSM
+  G = tiny_G(wh_ratio=env.G.wh_ratio, lcd_base=env.G.lcd_base)
+  model = RSSM(env, G)
+  batch = fake_batch(env, G)
+  m = model.train_step(batch)
+  assert np.isfinite(m['loss/total'])
+  s = model.sample(jax.random.PRNGKey(0), 2)
+  assert s['lcd'].shape == (2, G.window, env.lcd_h, env.lcd_w)
+
+
+def test_quantizers():
+  from research.nets.quantize import binary_quantize, rnld
+  key = jax.random.PRNGKey(0)
+  z = jnp.linspace(-3, 3, 32).reshape(4, 8)
+  zq, ent, probs = binary_quantize(z, key, noise=False)
+  assert set(np.unique(np.asarray(zq))) <= {0.0, 1.0}
+  # straight-through: gradient flows to logits
+  g = jax.grad(lambda z: binary_quantize(z, key, noise=False)[0].sum())(z)
+  assert np.abs(np.asarray(g)).sum() > 0
+  zq, idxs = rnld(z, key, noise=False)
+  assert set(np.unique(np.asarray(zq))) <= {-0.75, -0.25, 0.25, 0.75}
+
+
+def test_dists_bernoulli_matches_manual():
+  from research.nets import dists
+  logits = jnp.asarray([[0.5, -1.0, 2.0]])
+  x = jnp.asarray([[1.0, 0.0, 1.0]])
+  d = dists.Bernoulli(logits)
+  p = jax.nn.sigmoid(logits)
+  manual = x * jnp.log(p) + (1 - x) * jnp.log(1 - p)
+  assert np.allclose(np.asarray(d.log_prob(x)), np.asarray(manual), atol=1e-5)
+
+
+def test_metrics():
+  from research import metrics as M
+  a = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16))
+  assert float(M.ssim(a, a)) > 0.99
+  assert float(M.psnr(a, a)) > 50
+  f1 = jnp.asarray(np.random.RandomState(1).randn(32, 8))
+  f2 = f1 + 0.01
+  assert float(M.fid(f1, f2)) < 0.1
+  pr = M.precision_recall_f1(f1, f1)
+  assert float(pr['f1']) > 0.9
