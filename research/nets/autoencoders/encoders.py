@@ -52,7 +52,9 @@ class DeconvTrunk(nn.Module):
     nf = self.nfilter
     first_kernel = int(self.wh_ratio * 4)
     x = z.reshape(z.shape[0], 1, 1, -1)
-    x = nn.ConvTranspose(nf, (4, first_kernel), strides=(2, 2))(x)
+    # VALID padding: 1x1 -> (4, 4*ratio) expansion (SAME would collapse to 2x2)
+    x = nn.ConvTranspose(nf, (4, first_kernel), strides=(2, 2),
+                         padding='VALID')(x)
     x = nn.relu(x)
     x = nn.ConvTranspose(nf, (4, 4), strides=(2, 2), padding='SAME')(x)
     x = nn.relu(x)

@@ -131,7 +131,8 @@ class ConvBinHead(nn.Module):
     BS, LEN, E = x.shape
     first_kernel = int(self.wh_ratio * 4)
     h = x.reshape(BS * LEN, 1, 1, E)
-    h = nn.ConvTranspose(64, (4, first_kernel), strides=(2, 2))(h)
+    h = nn.ConvTranspose(64, (4, first_kernel), strides=(2, 2),
+                         padding='VALID')(h)
     h = nn.relu(h)
     h = nn.ConvTranspose(64, (4, 4), strides=(2, 2), padding='SAME')(h)
     h = nn.relu(h)

@@ -1,6 +1,9 @@
 """RSSM: Dreamer-v1-style latent dynamics, `lax.scan` over time
 (reference: research/nets/video_models/rssm.py). GRU deter(256) +
-Gaussian stoch(64), KL with free nats, conv encoder/decoder."""
+Gaussian stoch(64), KL with free nats, conv encoder/decoder.
+
+The time recursion lives outside the flax module (plain lax.scan over
+module.apply calls), keeping RNG plumbing simple."""
 from __future__ import annotations
 
 import flax.linen as nn
@@ -13,6 +16,13 @@ from research.nets.autoencoders.encoders import (ConvTrunk, DeconvTrunk,
 from research.nets.video_models._base import VideoModel
 
 STOCH, DETER, EMBED = 64, 256, 256
+
+
+def initial(batch_size):
+  return {'mean': jnp.zeros((batch_size, STOCH)),
+          'std': jnp.zeros((batch_size, STOCH)),
+          'stoch': jnp.zeros((batch_size, STOCH)),
+          'deter': jnp.zeros((batch_size, DETER))}
 
 
 class RSSMModule(nn.Module):
@@ -34,7 +44,6 @@ class RSSMModule(nn.Module):
     self.img1 = nn.Dense(n)
     self.img2 = nn.Dense(n)
     self.img3 = nn.Dense(2 * STOCH)
-    self.feat_dec = nn.Dense(n)
 
   def encode(self, lcd, proprio):
     emb = self.state_embed(proprio)
@@ -47,6 +56,8 @@ class RSSMModule(nn.Module):
             'proprio': dists.Normal(state, jnp.ones_like(state))}
 
   def img_step(self, prev, action, key):
+    """Prior: advance the recurrent state with the action
+    (reference: rssm.py:101-110)."""
     x = jnp.concatenate([prev['stoch'], action], -1)
     x = nn.relu(self.img1(x))
     deter, _ = self.cell(prev['deter'], x)
@@ -57,6 +68,7 @@ class RSSMModule(nn.Module):
     return {'mean': mean, 'std': std, 'stoch': stoch, 'deter': deter}
 
   def obs_step(self, prev, action, embed, key):
+    """Posterior given the frame embedding (reference: rssm.py:91-99)."""
     k1, k2 = jax.random.split(key)
     prior = self.img_step(prev, action, k1)
     x = jnp.concatenate([prior['deter'], embed], -1)
@@ -67,68 +79,17 @@ class RSSMModule(nn.Module):
     post = {'mean': mean, 'std': std, 'stoch': stoch, 'deter': prior['deter']}
     return post, prior
 
-  def observe(self, embed, action, key, state=None):
-    """embed/action (B, T, ...) -> stacked posts, priors."""
-    B, T = action.shape[:2]
-    if state is None:
-      state = initial(B)
-    keys = jax.random.split(key, T)
-
-    def step(carry, inp):
-      emb_t, act_t, k = inp
-      post, prior = self.obs_step(carry, act_t, emb_t, k)
-      return post, (post, prior)
-
-    _, (posts, priors) = nn.scan(
-        lambda mdl, c, x: step_wrap(mdl, c, x),
-        variable_broadcast='params', split_rngs={'params': False},
-        in_axes=1, out_axes=1)(self, state,
-                               (embed, action, keys_expand(keys, B)))
-    return posts, priors
-
-  def imagine(self, action, key, state=None):
-    B, T = action.shape[:2]
-    if state is None:
-      state = initial(B)
-    keys = jax.random.split(key, T)
-
-    def step(mdl, carry, inp):
-      act_t, k = inp
-      prior = mdl.img_step(carry, act_t, k[:, 0])
-      return prior, prior
-
-    _, priors = nn.scan(step, variable_broadcast='params',
-                        split_rngs={'params': False},
-                        in_axes=1, out_axes=1)(
-        self, state, (action, keys_expand(keys, B)))
-    return priors
-
   def __call__(self, lcd, proprio, action, key):
-    """Training pass: returns (posts, priors, feats) for loss computation."""
-    B, T = action.shape[:2]
-    embed = self.encode(lcd.reshape(B * T, *lcd.shape[2:]),
-                        proprio.reshape(B * T, -1)).reshape(B, T, -1)
-    posts, priors = self.observe(embed[:, 1:], action[:, :-1], key)
-    feat = jnp.concatenate([posts['stoch'], posts['deter']], -1)
-    return posts, priors, feat
+    """Init-only path touching every submodule."""
+    B = action.shape[0]
+    emb = self.encode(lcd, proprio)
+    post, prior = self.obs_step(initial(B), action, emb, key)
+    feat = jnp.concatenate([post['stoch'], post['deter']], -1)
+    return self.decode(feat)
 
 
-def step_wrap(mdl, carry, inp):
-  emb_t, act_t, k = inp
-  post, prior = mdl.obs_step(carry, act_t, emb_t, k[:, 0])
-  return post, (post, prior)
-
-
-def keys_expand(keys, B):
-  """(T, 2) keys -> (B, T, 2) broadcast so nn.scan can slice axis 1."""
-  return jnp.broadcast_to(keys[None], (B, *keys.shape))
-
-
-def initial(batch_size):
-  return {'mean': jnp.zeros((batch_size, STOCH)),
-          'std': jnp.zeros((batch_size, STOCH)),
-          'stoch': jnp.zeros((batch_size, STOCH)),
-          'deter': jnp.zeros((batch_size, DETER))}
+def _t(x):
+  return jax.tree_util.tree_map(lambda v: jnp.swapaxes(v, 0, 1), x)
 
 
 class RSSM(VideoModel):
@@ -139,18 +100,51 @@ class RSSM(VideoModel):
     self._init()
 
   def init_params(self, key):
-    T = 4
-    lcd = jnp.zeros((1, T, self.G.lcd_base,
+    lcd = jnp.zeros((1, self.G.lcd_base,
                      int(self.G.lcd_base * self.G.wh_ratio)))
-    proprio = jnp.zeros((1, T, self.proprio_n))
-    action = jnp.zeros((1, T, self.act_n))
+    proprio = jnp.zeros((1, self.proprio_n))
+    action = jnp.zeros((1, self.act_n))
     return self.module.init(key, lcd, proprio, action, jax.random.PRNGKey(0))
 
+  # -- recurrences (plain scans over module.apply) ----------------------------
+  def observe(self, params, embed, action, key, state=None):
+    """embed/action (B, T, ...) -> (posts, priors) stacked (B, T, ...)."""
+    B, T = action.shape[:2]
+    state = initial(B) if state is None else state
+
+    def step(carry, inp):
+      emb_t, act_t, k = inp
+      post, prior = self.module.apply(params, carry, act_t, emb_t, k,
+                                      method='obs_step')
+      return post, (post, prior)
+
+    _, (posts, priors) = jax.lax.scan(
+        step, state, (_t(embed), _t(action), jax.random.split(key, T)))
+    return _t(posts), _t(priors)
+
+  def imagine(self, params, action, key, state=None):
+    B, T = action.shape[:2]
+    state = initial(B) if state is None else state
+
+    def step(carry, inp):
+      act_t, k = inp
+      prior = self.module.apply(params, carry, act_t, k, method='img_step')
+      return prior, prior
+
+    _, priors = jax.lax.scan(step, state,
+                             (_t(action), jax.random.split(key, T)))
+    return _t(priors)
+
   def loss_fn(self, params, batch, rng):
-    k1, k2 = jax.random.split(rng)
+    """Recon + free-nats KL (reference: rssm.py:44-68)."""
+    k1, _ = jax.random.split(rng)
     lcd, proprio, action = batch['lcd'], batch['proprio'], batch['action']
     B, T = action.shape[:2]
-    posts, priors, feat = self.module.apply(params, lcd, proprio, action, k1)
+    embed = self.module.apply(
+        params, lcd.reshape(B * T, *lcd.shape[2:]),
+        proprio.reshape(B * T, -1), method='encode').reshape(B, T, -1)
+    posts, priors = self.observe(params, embed[:, 1:], action[:, :-1], k1)
+    feat = jnp.concatenate([posts['stoch'], posts['deter']], -1)
     dec = self.module.apply(params, feat.reshape(B * (T - 1), -1),
                             method='decode')
     tgt_lcd = lcd[:, 1:].reshape(B * (T - 1), *lcd.shape[2:])
@@ -167,7 +161,15 @@ class RSSM(VideoModel):
                   'loss/recon_total': recon, 'loss/recon_lcd': recon_lcd,
                   'loss/recon_proprio': recon_proprio}
 
+  def _decode_seq(self, feat, n, T):
+    dec = self.module.apply(self.params, feat.reshape(n * T, -1),
+                            method='decode')
+    lcd = (dec['lcd'].probs > 0.5).astype(jnp.float32)
+    return {'lcd': lcd.reshape(n, T, *lcd.shape[1:]),
+            'proprio': dec['proprio'].mean.reshape(n, T, -1)}
+
   def sample(self, key, n, action=None, prompts=None, prompt_n=10, temp=1.0):
+    """Observe the prompt, then imagine (reference: rssm.py:123-151)."""
     T = self.block_size
     k_act, k_obs, k_img = jax.random.split(key, 3)
     if action is None:
@@ -176,38 +178,25 @@ class RSSM(VideoModel):
     else:
       n = action.shape[0]
     if prompts is None:
-      priors = self.module.apply(self.params, action, k_img, method='imagine')
+      priors = self.imagine(self.params, action, k_img)
       feat = jnp.concatenate([priors['stoch'], priors['deter']], -1)
-      dec = self.module.apply(self.params, feat.reshape(n * T, -1),
-                              method='decode')
-      lcd = (dec['lcd'].probs > 0.5).astype(jnp.float32)
-      return {'lcd': lcd.reshape(n, T, *lcd.shape[1:]),
-              'proprio': dec['proprio'].mean.reshape(n, T, -1)}
-    # prompted: filter on the prompt then imagine forward
-    B = n
-    p_lcd = prompts['lcd'][:, :prompt_n]
+      return self._decode_seq(feat, n, T)
+    p_lcd = prompts['lcd'][:, :prompt_n].astype(jnp.float32)
     p_pro = prompts['proprio'][:, :prompt_n]
+    B = n
     embed = self.module.apply(
         self.params, p_lcd.reshape(B * prompt_n, *p_lcd.shape[2:]),
         p_pro.reshape(B * prompt_n, -1), method='encode'
     ).reshape(B, prompt_n, -1)
     a_shift = jnp.concatenate([jnp.zeros_like(action[:, :1]),
                                action[:, :-1]], 1)
-    posts, _ = self.module.apply(self.params, embed, a_shift[:, :prompt_n],
-                                 k_obs, method='observe')
+    posts, _ = self.observe(self.params, embed, a_shift[:, :prompt_n], k_obs)
     last = jax.tree_util.tree_map(lambda x: x[:, -1], posts)
-    priors = self.module.apply(self.params, a_shift[:, prompt_n:], k_img,
-                               last, method='imagine')
+    priors = self.imagine(self.params, a_shift[:, prompt_n:], k_img, last)
     feat = jnp.concatenate([priors['stoch'], priors['deter']], -1)
-    Trem = T - prompt_n
-    dec = self.module.apply(self.params, feat.reshape(n * Trem, -1),
-                            method='decode')
-    lcd = (dec['lcd'].probs > 0.5).astype(jnp.float32).reshape(
-        n, Trem, *p_lcd.shape[2:])
-    pro = dec['proprio'].mean.reshape(n, Trem, -1)
-    lcd = jnp.concatenate([prompts['lcd'][:, :prompt_n].astype(jnp.float32),
-                           lcd], 1)
-    pro = jnp.concatenate([prompts['proprio'][:, :prompt_n], pro], 1)
+    gen = self._decode_seq(feat, n, T - prompt_n)
+    lcd = jnp.concatenate([p_lcd, gen['lcd']], 1)
+    pro = jnp.concatenate([p_pro, gen['proprio']], 1)
     return {'lcd': lcd, 'proprio': pro}
 
   def onestep(self, params, batch, i, key, temp=1.0):

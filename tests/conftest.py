@@ -1,10 +1,12 @@
 """Test config: force CPU with 8 virtual devices so multi-chip sharding
 logic is exercised without TPU hardware (the TPU analog of multi-node tests
-without a cluster; see SURVEY.md §4)."""
+without a cluster; see SURVEY.md §4).
+
+The ambient environment pins JAX_PLATFORMS=axon AND a sitecustomize imports
+jax at interpreter start, so env vars alone are latched too early — we must
+update jax.config directly before any backend initializes."""
 import os
 
-# force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel,
-# which must never be used for unit tests (single shared chip, remote compile)
 os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'host_platform_device_count' not in flags:
@@ -14,3 +16,16 @@ if 'host_platform_device_count' not in flags:
 # test runs must not re-pay XLA compiles
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+try:
+  jax.config.update('jax_num_cpu_devices', 8)
+except Exception:
+  pass  # older jax: XLA_FLAGS above covers it
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+try:
+  jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+except Exception:
+  pass

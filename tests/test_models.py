@@ -88,12 +88,16 @@ def test_quantizers():
   key = jax.random.PRNGKey(0)
   z = jnp.linspace(-3, 3, 32).reshape(4, 8)
   zq, ent, probs = binary_quantize(z, key, noise=False)
-  assert set(np.unique(np.asarray(zq))) <= {0.0, 1.0}
+  vals = np.unique(np.asarray(zq))
+  assert np.all((np.abs(vals) < 1e-5) | (np.abs(vals - 1) < 1e-5)), \
+      'straight-through output should be numerically 0/1'
   # straight-through: gradient flows to logits
   g = jax.grad(lambda z: binary_quantize(z, key, noise=False)[0].sum())(z)
   assert np.abs(np.asarray(g)).sum() > 0
   zq, idxs = rnld(z, key, noise=False)
-  assert set(np.unique(np.asarray(zq))) <= {-0.75, -0.25, 0.25, 0.75}
+  centers = np.array([-0.75, -0.25, 0.25, 0.75])
+  vals = np.unique(np.asarray(zq))
+  assert np.all(np.abs(vals[:, None] - centers[None]).min(1) < 1e-5)
 
 
 def test_dists_bernoulli_matches_manual():
@@ -103,7 +107,7 @@ def test_dists_bernoulli_matches_manual():
   d = dists.Bernoulli(logits)
   p = jax.nn.sigmoid(logits)
   manual = x * jnp.log(p) + (1 - x) * jnp.log(1 - p)
-  assert np.allclose(np.asarray(d.log_prob(x)), np.asarray(manual), atol=1e-5)
+  assert np.allclose(np.asarray(d.log_prob(x)), np.asarray(manual), atol=1e-4)
 
 
 def test_metrics():
