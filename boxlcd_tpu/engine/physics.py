@@ -32,6 +32,9 @@ ANGULAR_SLOP = 2.0 / 180.0 * jnp.pi
 MAX_LINEAR_CORRECTION = 0.2
 MAX_ANGULAR_CORRECTION = 8.0 / 180.0 * jnp.pi
 VELOCITY_THRESHOLD = 1.0
+TIME_TO_SLEEP = 0.5                      # b2_timeToSleep
+LIN_SLEEP_TOL_SQ = 0.01 ** 2             # b2_linearSleepTolerance^2
+ANG_SLEEP_TOL_SQ = (2.0 / 180.0 * 3.14159265) ** 2
 
 
 def cross_sv(w, r):
@@ -69,6 +72,9 @@ class WorldState(NamedTuple):
                           # revoluteJointDef(bodyA=..., bodyB=...) initializes
                           # referenceAngle to the spawn relative angle, so
                           # limits are relative to the spawn configuration
+  sleep_time: jnp.ndarray  # (N,) seconds below the sleep velocity tolerances
+  prev_motor: jnp.ndarray  # (J,) last motor speeds (changes wake the island,
+                           # as pybox2d's SetMotorSpeed does)
 
 
 def init_state(spec: WorldSpec) -> WorldState:
@@ -84,7 +90,7 @@ def init_state(spec: WorldSpec) -> WorldState:
       pc_imp=jnp.zeros((p, 2, 2)), pc_id=jnp.full((p, 2), -1, jnp.int32),
       j_imp=jnp.zeros((j, 2)), j_mot=jnp.zeros(j),
       j_lim=jnp.zeros(j), j_state=jnp.zeros(j, jnp.int32),
-      j_ref=jnp.zeros(j))
+      j_ref=jnp.zeros(j), sleep_time=jnp.zeros(n), prev_motor=jnp.zeros(j))
 
 
 def body_inv_mass(spec: WorldSpec, is_circle):
@@ -133,15 +139,18 @@ def step_world(spec: WorldSpec, state: WorldState, action: jnp.ndarray
   motor_speed = spec.j_speed * a_j
   max_torque = jnp.asarray(spec.j_torque)
 
+  # a changed motor speed wakes the joint's bodies (pybox2d SetMotorSpeed)
+  motor_changed = (motor_speed != state.prev_motor) & jnp.asarray(spec.j_valid)
+
   def sub(st, _):
-    return _substep(spec, st, motor_speed, max_torque), None
+    return _substep(spec, st, motor_speed, max_torque, motor_changed), None
 
   state, _ = jax.lax.scan(sub, state, None, length=spec.substeps)
-  return state._replace(ep_t=state.ep_t + 1)
+  return state._replace(ep_t=state.ep_t + 1, prev_motor=motor_speed)
 
 
-def _substep(spec: WorldSpec, st: WorldState, motor_speed, max_torque
-             ) -> WorldState:
+def _substep(spec: WorldSpec, st: WorldState, motor_speed, max_torque,
+             motor_changed) -> WorldState:
   dt = spec.dt
   inv_dt = 1.0 / dt
   inv_m, inv_i = body_inv_mass(spec, st.is_circle)
@@ -509,9 +518,42 @@ def _substep(spec: WorldSpec, st: WorldState, motor_speed, max_torque
 
   c, a = jax.lax.fori_loop(0, spec.pos_iters, pos_iter, (c, a))
 
-  # ---- 9. write back -------------------------------------------------------------
+  # ---- 9. sleeping (island-based, Box2D semantics) --------------------------
+  sleep_time = st.sleep_time
+  if spec.allow_sleep:
+    n = spec.n
+    # adjacency: joints + touching pair contacts (walls are static)
+    adj = jnp.zeros((n, n), bool)
+    jm = jnp.asarray(spec.j_valid)
+    adj = adj.at[j_pa, j_ch].max(jm).at[j_ch, j_pa].max(jm)
+    pair_touching = pairm.touch.any(-1)
+    adj = adj.at[pair_a, pair_b].max(pair_touching)
+    adj = adj.at[pair_b, pair_a].max(pair_touching)
+    # islands via min-label propagation
+    label = jnp.arange(n)
+
+    def prop(_, lab):
+      neigh = jnp.where(adj, lab[None, :], n)
+      return jnp.minimum(lab, neigh.min(1))
+
+    label = jax.lax.fori_loop(0, max(1, int(np.ceil(np.log2(max(n, 2)))) + 1),
+                              prop, label)
+    # per-body slow test + forced wake from motor-speed changes
+    slow = ((v * v).sum(-1) <= LIN_SLEEP_TOL_SQ) & (w * w <= ANG_SLEEP_TOL_SQ)
+    forced = jnp.zeros(n, bool).at[j_pa].max(motor_changed) \
+        .at[j_ch].max(motor_changed)
+    sleep_time = jnp.where(slow & ~forced, st.sleep_time + dt, 0.0)
+    same = label[:, None] == label[None, :]
+    isl_min = jnp.where(same, sleep_time[None, :], jnp.inf).min(1)
+    asleep = isl_min >= TIME_TO_SLEEP
+    v = jnp.where(asleep[:, None], 0.0, v)
+    w = jnp.where(asleep, 0.0, w)
+    c = jnp.where(asleep[:, None], st.c, c)
+    a = jnp.where(asleep, st.a, a)
+
+  # ---- 10. write back ------------------------------------------------------------
   return st._replace(
-      c=c, a=a, v=v, w=w,
+      c=c, a=a, v=v, w=w, sleep_time=sleep_time,
       wc_imp=jnp.where(wallm.touch[..., None], wc_imp, 0.0),
       wc_id=jnp.where(wallm.touch, wallm.ids, -1),
       pc_imp=jnp.where(pairm.touch[..., None], pc_imp, 0.0),

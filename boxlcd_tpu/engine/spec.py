@@ -108,6 +108,7 @@ class WorldSpec:
   b_yi: np.ndarray
   b_ci: np.ndarray
   b_si: np.ndarray
+  allow_sleep: bool = True          # Box2D b2World default
 
   @property
   def obs_size(self):
@@ -396,4 +397,5 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
       obs_kind=obs_kind, pobs_idxs=pobs_idxs, pobs_keys=pobs_keys,
       act_keys=act_keys,
       b_xi=b_xi, b_yi=b_yi, b_ci=b_ci, b_si=b_si,
+      allow_sleep=bool(G.get('allow_sleep', 1)),
   )

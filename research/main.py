@@ -15,26 +15,36 @@ from boxlcd_tpu.utils import AttrDict, args_type
 from research.define_config import config, env_fn
 
 
-IGNORE = ['logdir', 'datadir', 'weightdir', 'arbiterdir', 'buffdir', 'mode',
-          'model', 'total_itr', 'full_cmd', 'commit']
+IGNORE = ['logdir', 'full_cmd', 'ipython_mode', 'weightdir', 'arbiterdir']
 
 
 def parse_flags(argv=None):
-  G = config()
+  """Flags -> env-class defaults -> hps.yaml defaults -> CLI overrides
+  (reference: research/main.py:23-56 — yaml feeds parser *defaults*, so
+  explicit CLI flags always win)."""
+  base = config()
   parser = argparse.ArgumentParser()
-  for key, value in G.items():
+  for key, value in base.items():
     parser.add_argument(f'--{key}', type=args_type(value), default=value)
-  args = parser.parse_args(argv)
-  G = AttrDict(vars(args))
-  # inherit hyperparams from the dataset and pretrained weights
-  for src in ['datadir', 'weightdir']:
-    hps = Path(G[src]) / 'hps.yaml'
+  temp = parser.parse_args(argv)
+  from boxlcd_tpu import env_map
+  env_cls = env_map[temp.env]
+  parser.set_defaults(**{k: v for k, v in env_cls.ENV_DG.items() if k in base})
+  defaults = {}
+  for src_dir in [temp.datadir, temp.weightdir]:
+    hps = Path(src_dir) / 'hps.yaml'
     if hps.exists():
       with open(hps) as f:
-        loaded = yaml.safe_load(f)
+        loaded = yaml.safe_load(f) or {}
       for key, val in loaded.items():
-        if key not in IGNORE and key in G:
-          G[key] = type(G[key])(val) if not isinstance(G[key], Path) else Path(val)
+        if key in IGNORE or key not in base:
+          continue
+        if isinstance(base[key], Path):
+          defaults[key] = Path(val)
+        else:
+          defaults[key] = type(base[key])(val)
+  parser.set_defaults(**defaults)
+  G = AttrDict(vars(parser.parse_args(argv)))
   for p in ['logdir', 'datadir', 'weightdir', 'arbiterdir', 'buffdir']:
     G[p] = Path(G[p])
   # derived dims

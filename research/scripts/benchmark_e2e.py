@@ -1,0 +1,73 @@
+"""End-to-end benchmark: 100k Urchin rollouts generated + FBT trained — the
+BASELINE.json wall-clock criterion (reference budget: README.md:89 — 100k
+rollouts, 100k gradient updates; target < 1 hour on TPU).
+
+Scaled-down by default; pass --full for the real budget.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--full', action='store_true')
+  parser.add_argument('--workdir', default='/tmp/bench_e2e')
+  args = parser.parse_args()
+
+  import jax
+  from boxlcd_tpu.utils import AttrDict
+  from research.define_config import config, env_fn
+
+  n_eps = 100_000 if args.full else 2_000
+  bvae_iters = 30_000 if args.full else 200
+  fbt_iters = 100_000 if args.full else 200
+
+  work = Path(args.workdir)
+  t0 = time.time()
+
+  # --- datagen --------------------------------------------------------------
+  G = config()
+  G.update(env='Urchin', logdir=work / 'data', ep_len=50,
+           train_barrels=n_eps // 1000, test_barrels=1, num_envs=1000)
+  from boxlcd_tpu.data.collect import collect
+  collect(env_fn(G), G)
+  t_data = time.time() - t0
+
+  # --- BVAE -----------------------------------------------------------------
+  from research.nets.autoencoders.bvae import BVAE
+  from research.runners.trainer import Trainer
+  G2 = config()
+  G2.update(env='Urchin', datadir=work / 'data', logdir=work / 'bvae',
+            total_itr=bvae_iters, log_n=max(bvae_iters // 4, 1), bs=32,
+            window=12, hidden_size=64, nfilter=16, vqD=16, ep_len=50)
+  env = env_fn(G2)()
+  Trainer(BVAE(env, G2), env, G2).run()
+  t_bvae = time.time() - t0 - t_data
+
+  # --- FBT ------------------------------------------------------------------
+  from research.nets.video_models.fbt import FBT
+  G3 = config()
+  G3.update(env='Urchin', datadir=work / 'data', weightdir=work / 'bvae',
+            logdir=work / 'fbt', total_itr=fbt_iters,
+            log_n=max(fbt_iters // 4, 1), bs=32, window=12, n_embed=256,
+            n_head=4, n_layer=2, hidden_size=64, nfilter=16, vqD=16,
+            ep_len=50)
+  env3 = env_fn(G3)()
+  Trainer(FBT(env3, G3), env3, G3).run()
+  total = time.time() - t0
+
+  print(json.dumps({
+      'metric': 'e2e_datagen_plus_fbt_wallclock',
+      'n_episodes': n_eps, 'bvae_iters': bvae_iters, 'fbt_iters': fbt_iters,
+      'datagen_s': round(t_data, 1), 'bvae_s': round(t_bvae, 1),
+      'total_s': round(total, 1),
+      'under_one_hour': total < 3600,
+  }))
+
+
+if __name__ == '__main__':
+  main()

@@ -94,3 +94,28 @@ def test_vmap_batching():
     states = step(states, acts)
   assert bool(jnp.isfinite(states.c).all())
   assert states.c.shape == (B, env.spec.n, 2)
+
+
+def test_sleeping():
+  """Settled bodies must sleep and freeze exactly (Box2D island sleeping)."""
+  env = boxlcd_tpu.env_map['Dropbox']()
+  env.seed(5)
+  env.reset()
+  poses = []
+  for t in range(25):
+    env.step(np.zeros(env.act_size))
+    poses.append((np.asarray(env.state.c).copy(), np.asarray(env.state.a).copy()))
+  # by the end the box is asleep: consecutive poses bitwise identical
+  assert (poses[-1][0] == poses[-2][0]).all() and (poses[-1][1] == poses[-2][1]).all(), \
+      'settled body should be asleep (frozen pose)'
+  assert np.asarray(env.state.sleep_time).min() > 0
+
+
+@pytest.mark.skipif(not HAVE_BOX2D, reason='pybox2d not available')
+def test_luxo_golden():
+  env, ours, theirs = rollout_pair(
+      'Luxo', 6,
+      action_fn=lambda rng: rng.uniform(-1, 1, 3).astype(np.float32))
+  errs = [np.abs(o[0] - t[0]).max() for o, t in zip(ours, theirs)]
+  assert errs[0] < 0.15, f'step-0 err {errs[0]:.3f}'
+  assert np.mean(errs[:4]) < 0.35, f'4-step mean err {np.mean(errs[:4]):.3f}'
