@@ -235,4 +235,16 @@ class WorldEnv(Env):
         width, height))
 
   def render(self, mode='rgb_array', *_, **__):
-    return self.lcd_render()
+    """rgb_array -> LCD frame; human -> 8x RGB + upscaled LCD side by side
+    (headless array; reference blits this into a pyglet window,
+    world_env.py:514-535)."""
+    lcd = self.lcd_render()
+    if mode != 'human':
+      return lcd
+    hi = np.asarray(raster.rgb_render(
+        self.spec, self._state.is_circle, self._state.c, self._state.a,
+        self.lcd_w * 8, self.lcd_h * 8))
+    low = (255 * lcd.astype(np.uint8))[:, :, None]
+    low = low.repeat(8, 0).repeat(8, 1).repeat(3, 2)
+    sep = np.zeros((hi.shape[0], 1, 3), np.uint8)
+    return np.concatenate([hi, sep, low], axis=1)

@@ -53,6 +53,7 @@ def config():
   G.conv_io = 0
   G.train_barrels = -1
   G.test_barrels = 1
+  G.barrel_format = 'npz'  # 'npz' (reference layout) | 'native' (bit-packed)
   G.grad_clip = 10.0
 
   G.bs = 64

@@ -91,3 +91,59 @@ def make_writer(logdir):
       def flush(self):
         pass
     return _Stub()
+
+
+# -- media helpers (reference: research/utils.py:87-164, 203-247) -------------
+
+def force_shape(out, N=4):
+  """Tile a batch of images into an N-wide grid (reference: utils.py:110-131)."""
+  out = np.asarray(out)
+  bs = out.shape[0]
+  rows = int(np.ceil(bs / N))
+  pad = rows * N - bs
+  if pad:
+    out = np.concatenate([out, np.zeros((pad, *out.shape[1:]), out.dtype)])
+  grid = out.reshape(rows, N, *out.shape[1:])
+  return np.concatenate(np.concatenate(grid, axis=-2), axis=-1)
+
+
+def combine_imgs(imgs, row=1, col=1):
+  """(B, T, H, W) -> tiled (T, H*row, W*col) video strip
+  (reference: utils.py:133-164)."""
+  imgs = np.asarray(imgs)
+  B, T = imgs.shape[:2]
+  assert B >= row * col, f'need {row * col} videos, have {B}'
+  sel = imgs[:row * col].reshape(row, col, T, *imgs.shape[2:])
+  return np.concatenate(np.concatenate(sel, axis=-2), axis=-1)
+
+
+def write_gif(path, frames, fps=10, upscale=8):
+  """(T, H, W) float/bool [0,1] -> animated gif (reference: utils.py:87-108)."""
+  try:
+    from PIL import Image
+  except ImportError:
+    np.savez_compressed(str(path) + '.npz', frames=np.asarray(frames))
+    return str(path) + '.npz'
+  frames = np.asarray(frames, np.float32)
+  frames = frames.repeat(upscale, -2).repeat(upscale, -1)
+  imgs = [Image.fromarray((255 * f).astype(np.uint8)) for f in frames]
+  imgs[0].save(str(path), save_all=True, append_images=imgs[1:],
+               duration=int(1000 / fps), loop=0)
+  return str(path)
+
+
+def add_video(writer, tag, video, itr, fps=10):
+  """Log (T, H, W) or (B, T, H, W) video to TB (reference: utils.py:203-247)."""
+  if writer is None:
+    return
+  import numpy as _np
+  v = _np.asarray(video, _np.float32)
+  if v.ndim == 3:
+    v = v[None]
+  v = v[:, :, None].repeat(3, 2)  # (B, T, C, H, W)
+  try:
+    import torch
+    writer.add_video(tag, torch.as_tensor((255 * v).astype(_np.uint8)), itr,
+                     fps=fps)
+  except Exception:
+    writer.add_image(tag, v[0, -1], itr)
