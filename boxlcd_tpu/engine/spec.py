@@ -23,8 +23,9 @@ from boxlcd_tpu.world_defs import ROBOT_FILLER, ShapeSpec, WorldDef
 
 # shape flags
 CIRCLE, POLY, RANDOM = 0, 1, 2
-# obs-kind enum
+# obs-kind enum: absolute features, then root-relative variants
 KX, KY, KCOS, KSIN = 0, 1, 2, 3
+KX_REL, KY_REL, KCOS_REL, KSIN_REL = 4, 5, 6, 7
 # body roles for reset
 ROLE_ROOT, ROLE_CHILD, ROLE_OBJECT = 0, 1, 2
 
@@ -146,10 +147,13 @@ def _shape_tables(shape: ShapeSpec, kind_flag: int, size: float):
 
 def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
   """Expand robots, lay out bodies/joints/pairs/walls, build obs/act tables."""
+  # all_corners and compact_obs are broken in the reference itself
+  # (ipdb stub at world_env.py:178; ':angle' keys missing from obs_info) —
+  # explicitly unsupported here
   assert not G.get('all_corners', 0) and not G.get('compact_obs', 0), \
-      'only the default obs encoding is implemented'
-  assert not G.get('root_offset', 0) and not G.get('angular_offset', 0), \
-      'only the default obs encoding is implemented'
+      'all_corners/compact_obs are non-functional in the reference; unsupported'
+  root_offset = int(G.get('root_offset', 0))
+  angular_offset = int(G.get('angular_offset', 0))
 
   width = float(int(G.wh_ratio * G.base_dim))
   height = float(G.base_dim)
@@ -319,14 +323,24 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
     src[f'{robot.name}:root:sin'] = (b, KSIN)
     for bj_name in robot.joints:
       bb = name2idx[f'{robot.name}:{bj_name}']
-      obs_info[f'{robot.name}:{bj_name}:x:p'] = (0, width)
-      src[f'{robot.name}:{bj_name}:x:p'] = (bb, KX)
-      obs_info[f'{robot.name}:{bj_name}:y:p'] = (0, height)
-      src[f'{robot.name}:{bj_name}:y:p'] = (bb, KY)
+      # root_offset: positions relative to root, bounds [-2, 2]
+      # (reference: world_env.py:95-100, 412-413)
+      if root_offset:
+        obs_info[f'{robot.name}:{bj_name}:x:p'] = (-2.0, 2.0)
+        src[f'{robot.name}:{bj_name}:x:p'] = (bb, KX_REL)
+        obs_info[f'{robot.name}:{bj_name}:y:p'] = (-2.0, 2.0)
+        src[f'{robot.name}:{bj_name}:y:p'] = (bb, KY_REL)
+      else:
+        obs_info[f'{robot.name}:{bj_name}:x:p'] = (0, width)
+        src[f'{robot.name}:{bj_name}:x:p'] = (bb, KX)
+        obs_info[f'{robot.name}:{bj_name}:y:p'] = (0, height)
+        src[f'{robot.name}:{bj_name}:y:p'] = (bb, KY)
+      # angular_offset: angles relative to root (world_env.py:416-418)
+      kcos, ksin = (KCOS_REL, KSIN_REL) if angular_offset else (KCOS, KSIN)
       obs_info[f'{robot.name}:{bj_name}:cos'] = (-1, 1)
-      src[f'{robot.name}:{bj_name}:cos'] = (bb, KCOS)
+      src[f'{robot.name}:{bj_name}:cos'] = (bb, kcos)
       obs_info[f'{robot.name}:{bj_name}:sin'] = (-1, 1)
-      src[f'{robot.name}:{bj_name}:sin'] = (bb, KSIN)
+      src[f'{robot.name}:{bj_name}:sin'] = (bb, ksin)
   obs_keys = tuple(sorted(obs_info))
   obs_bounds = _f([obs_info[k] for k in obs_keys])
   obs_body = _i([src[k][0] for k in obs_keys])

@@ -142,6 +142,18 @@ class Env:
     sin = vals[jnp.asarray(s.b_si)]
     origin = jnp.stack([x, y], -1)
     angle = jnp.arctan2(sin, cos)
+    # undo root-relative encodings (reference: world_env.py:369, 377-379)
+    import numpy as _np
+    kinds_x = _np.asarray(s.obs_kind)[_np.asarray(s.b_xi)]
+    kinds_c = _np.asarray(s.obs_kind)[_np.asarray(s.b_ci)]
+    from boxlcd_tpu.engine.spec import KCOS_REL, KX_REL
+    rel_pos = jnp.asarray(kinds_x == KX_REL)
+    rel_ang = jnp.asarray(kinds_c == KCOS_REL)
+    root = jnp.asarray(s.root_of)
+    origin = jnp.where(rel_pos[:, None], origin + origin[root], origin)
+    comb = angle + angle[root]
+    comb = jnp.arctan2(jnp.sin(comb), jnp.cos(comb))
+    angle = jnp.where(rel_ang, comb, angle)
     c = physics.com_from_origin(s, st.is_circle, origin, angle)
     return st._replace(c=c, a=angle)
 
@@ -149,8 +161,14 @@ class Env:
     """Pack the dict observation (reference: world_env.py:387-429)."""
     s = self.spec
     origin = physics.origin_pos(s, state)
+    root = jnp.asarray(s.root_of)
+    rel = origin - origin[root]                  # root-relative positions
+    rel_a = state.a - state.a[root]              # root-relative angles
+    rel_a = jnp.arctan2(jnp.sin(rel_a), jnp.cos(rel_a))
     feats = jnp.stack([origin[:, 0], origin[:, 1],
-                       jnp.cos(state.a), jnp.sin(state.a)], axis=-1)  # (N,4)
+                       jnp.cos(state.a), jnp.sin(state.a),
+                       rel[:, 0], rel[:, 1],
+                       jnp.cos(rel_a), jnp.sin(rel_a)], axis=-1)  # (N,8)
     vals = feats[jnp.asarray(s.obs_body), jnp.asarray(s.obs_kind)]
     full = utils.rmapto(vals, jnp.asarray(s.obs_bounds).T).astype(jnp.float32)
     proprio = (full[jnp.asarray(s.pobs_idxs)] if s.pobs_size

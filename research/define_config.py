@@ -54,6 +54,7 @@ def config():
   G.train_barrels = -1
   G.test_barrels = 1
   G.barrel_format = 'npz'  # 'npz' (reference layout) | 'native' (bit-packed)
+  G.profile = 0  # capture a jax.profiler trace for the first ~50 train iters
   G.grad_clip = 10.0
 
   G.bs = 64

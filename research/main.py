@@ -75,7 +75,7 @@ def main(argv=None):
     from research.nets._base import Net
     from research.runners import Fiddler, Vizer
     mG = Net.load_config(G.weightdir, G.model)
-    mG.update(logdir=G.logdir, weightdir=G.weightdir, datadir=G.datadir)
+    mG.update(logdir=G.logdir, datadir=G.datadir)  # keep checkpoint weightdir
     model = net_map[G.model](env, mG)
     model.load(G.weightdir)
     runner = Vizer(model, env, G) if G.mode == 'viz' else Fiddler(model, env, G)

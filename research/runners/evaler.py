@@ -29,8 +29,9 @@ class Evaler:
       from research.nets import net_map
       from research.nets._base import Net
       mG = Net.load_config(G.weightdir, G.model)
-      mG.update(logdir=G.logdir, weightdir=G.weightdir,
-                arbiterdir=G.arbiterdir, datadir=G.datadir)
+      # keep the checkpoint's own weightdir: composite models (FBT/FRNLD)
+      # use it to locate their frozen encoder (reference: evaler.py:34-41)
+      mG.update(logdir=G.logdir, arbiterdir=G.arbiterdir, datadir=G.datadir)
       model = net_map[G.model](env, mG)
       model.load(G.weightdir)
     self.model = model

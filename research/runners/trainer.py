@@ -54,6 +54,9 @@ class Trainer:
     last_save = time.time()
     train_iter = iter(self.train_ds)
     test_iter = iter(self.test_ds)
+    if G.get('profile', 0):
+      import jax
+      jax.profiler.start_trace(str(G.logdir))  # view with tensorboard/xprof
     for itr in range(1, int(G.total_itr) + 1):
       with utils.Timer(self.logger, 'sample_batch'):
         batch = self.b(next(train_iter))
@@ -72,4 +75,7 @@ class Trainer:
       if time.time() - last_save > 300 or itr % (G.log_n * G.save_n) == 0:
         self.model.save(G.logdir)
         last_save = time.time()
+      if G.get('profile', 0) and itr == min(50, G.total_itr):
+        import jax
+        jax.profiler.stop_trace()
     self.model.save(G.logdir)

@@ -119,3 +119,15 @@ def test_luxo_golden():
   errs = [np.abs(o[0] - t[0]).max() for o, t in zip(ours, theirs)]
   assert errs[0] < 0.15, f'step-0 err {errs[0]:.3f}'
   assert np.mean(errs[:4]) < 0.35, f'4-step mean err {np.mean(errs[:4]):.3f}'
+
+
+def test_offset_obs_roundtrip():
+  """root_offset/angular_offset obs encodings roundtrip through teleport
+  (reference: world_env.py:95-100, 369, 377-379, 412-418)."""
+  env = boxlcd_tpu.env_map['Urchin']({'root_offset': 1, 'angular_offset': 1})
+  env.seed(11)
+  obs = env.reset()
+  target = obs['full_state'].copy()
+  obs2 = env.reset(full_state=target)
+  err = np.abs(obs2['full_state'] - target).max()
+  assert err < 1e-4, f'teleport roundtrip err {err}'
