@@ -355,7 +355,8 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
   b_si = np.zeros(n, np.int32)
   for k, key in enumerate(obs_keys):
     b, kind = src[key]
-    (b_xi, b_yi, b_ci, b_si)[kind][b] = k
+    # REL variants (kind >= 4) fill the same x/y/cos/sin slots
+    (b_xi, b_yi, b_ci, b_si)[kind % 4][b] = k
 
   # ---- collision pairs ----------------------------------------------------
   jointed = {(min(a, b), max(a, b)) for a, b in zip(j_parent[:jn], j_child[:jn])}
