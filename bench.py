@@ -27,17 +27,23 @@ REFERENCE_STEPS_PER_SEC = 1700.0  # examples/README.md:33 (CPU, single proc)
 def main():
   B = int(os.environ.get('BENCH_WORLDS', 4096))
   T = int(os.environ.get('BENCH_STEPS', 50))
+  use_pallas = bool(int(os.environ.get('BENCH_PALLAS', 0)))
   env = boxlcd_tpu.env_map['Urchin']()
+  solver = None
+  if use_pallas:
+    from boxlcd_tpu.engine.pallas_solver import make_batched_solver
+    solver = make_batched_solver(env.spec)
 
   def one_chunk(states, key):
     """T env steps incl. observation (lcd render) per step."""
+    from boxlcd_tpu.engine import physics
+
     def step(carry, k):
       states = carry
       acts = jax.random.uniform(k, (B, env.act_size), minval=-1, maxval=1)
-      def sstep(s, a):
-        ns, obs, rew, done, _ = Env.step(env, s, a)
-        return ns, obs['lcd']
-      states, lcds = jax.vmap(sstep)(states, acts)
+      states = physics.step_world_batch(env.spec, states, acts,
+                                        velocity_solver=solver)
+      lcds = jax.vmap(lambda s: Env.observe(env, s)['lcd'])(states)
       return states, lcds.sum()  # consume obs so rendering isn't DCE'd
     keys = jax.random.split(key, T)
     states, sums = jax.lax.scan(step, states, keys)

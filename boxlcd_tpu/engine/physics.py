@@ -125,6 +125,204 @@ def _match_impulses(new_ids, touch, old_ids, old_imp):
   return jnp.where(touch[..., None], imp, 0.0)
 
 
+class SolveBundle(NamedTuple):
+  """Everything the velocity-iteration loop consumes/produces for one world.
+
+  The loop is the solver hot spot; isolating its I/O lets a batched caller
+  swap in the Pallas kernel (engine/pallas_solver.py) between the vmapped
+  pre/post stages."""
+  # mutable carry
+  v: jnp.ndarray          # (N, 2)
+  w: jnp.ndarray          # (N,)
+  j_imp: jnp.ndarray      # (J, 2)
+  j_mot: jnp.ndarray      # (J,)
+  j_lim: jnp.ndarray      # (J,)
+  wc: jnp.ndarray         # (N, W, 2, 2)
+  pc: jnp.ndarray         # (P, 2, 2)
+  # constants for this substep
+  inv_m: jnp.ndarray      # (N,)
+  inv_i: jnp.ndarray      # (N,)
+  j_rA: jnp.ndarray       # (J, 2)
+  j_rB: jnp.ndarray       # (J, 2)
+  j_axmass: jnp.ndarray   # (J,)
+  j_state: jnp.ndarray    # (J,) int32
+  j_mA: jnp.ndarray       # (J,)
+  j_mB: jnp.ndarray
+  j_iA: jnp.ndarray
+  j_iB: jnp.ndarray
+  motor_speed: jnp.ndarray  # (J,)
+  w_rB: jnp.ndarray       # (N, W, 2, 2)
+  w_nmass: jnp.ndarray    # (N, W, 2)
+  w_tmass: jnp.ndarray    # (N, W, 2)
+  w_bias: jnp.ndarray     # (N, W, 2)
+  w_mu: jnp.ndarray       # (N,)
+  p_n: jnp.ndarray        # (P, 2)
+  p_rA: jnp.ndarray       # (P, 2, 2)
+  p_rB: jnp.ndarray       # (P, 2, 2)
+  p_nmass: jnp.ndarray    # (P, 2)
+  p_tmass: jnp.ndarray    # (P, 2)
+  p_bias: jnp.ndarray     # (P, 2)
+  p_mu: jnp.ndarray       # (P,)
+  p_imA: jnp.ndarray      # (P,)
+  p_imB: jnp.ndarray
+  p_iiA: jnp.ndarray
+  p_iiB: jnp.ndarray
+
+
+class PostAux(NamedTuple):
+  """Pre-solve products the position/sleep stages need."""
+  wallm: object
+  pairm: object
+  j_state: jnp.ndarray
+  lc: jnp.ndarray
+
+
+def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
+  """Sequential-impulse velocity iterations for one world (jnp path)."""
+  dt = spec.dt
+  nw = len(spec.wall_offset)
+  wall_n = jnp.asarray(spec.wall_normal)
+  j_pa, j_ch = jnp.asarray(spec.j_parent), jnp.asarray(spec.j_child)
+  pair_a, pair_b = jnp.asarray(spec.pair_a), jnp.asarray(spec.pair_b)
+  j_equal = jnp.asarray(spec.j_limited & (spec.j_lower == spec.j_upper))
+  j_valid = jnp.asarray(spec.j_valid)
+  max_torque = jnp.asarray(spec.j_torque)
+
+  def joint_pass(carry):
+    v, w, j_imp, j_mot, j_lim = carry
+
+    def one_joint(vw, j):
+      v, w, j_imp, j_mot, j_lim = vw
+      pa, ch = j_pa[j], j_ch[j]
+      iA, iB, mA, mB = b.j_iA[j], b.j_iB[j], b.j_mA[j], b.j_mB[j]
+      rA, rB = b.j_rA[j], b.j_rB[j]
+      # motor (inactive when limits are equal; reference keeps motors enabled
+      # on every joint, world_env.py:255-267)
+      cdot = w[ch] - w[pa] - b.motor_speed[j]
+      imp = -b.j_axmass[j] * cdot
+      cap = max_torque[j] * dt
+      new = jnp.clip(j_mot[j] + imp, -cap, cap)
+      d = jnp.where(j_equal[j], 0.0, new - j_mot[j]) * j_valid[j]
+      j_mot = j_mot.at[j].add(d)
+      w = w.at[pa].add(-iA * d).at[ch].add(iB * d)
+      # limits (Box2D 2.3 state-based accumulator, no speculation)
+      state = b.j_state[j]
+      cdot = w[ch] - w[pa]
+      imp = -b.j_axmass[j] * cdot
+      acc = j_lim[j] + imp
+      acc = jnp.where(state == 1, jnp.maximum(acc, 0.0),
+                      jnp.where(state == 2, jnp.minimum(acc, 0.0), acc))
+      d = jnp.where(state > 0, acc - j_lim[j], 0.0) * j_valid[j]
+      j_lim = j_lim.at[j].add(d)
+      w = w.at[pa].add(-iA * d).at[ch].add(iB * d)
+      # point constraint (2x2)
+      cdot = v[ch] + cross_sv(w[ch], rB) - v[pa] - cross_sv(w[pa], rA)
+      k11 = mA + mB + iA * rA[1] ** 2 + iB * rB[1] ** 2
+      k12 = -iA * rA[0] * rA[1] - iB * rB[0] * rB[1]
+      k22 = mA + mB + iA * rA[0] ** 2 + iB * rB[0] ** 2
+      det = k11 * k22 - k12 * k12
+      det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+      P = -jnp.stack([k22 * cdot[0] - k12 * cdot[1],
+                      k11 * cdot[1] - k12 * cdot[0]]) / det
+      P = P * j_valid[j]
+      j_imp = j_imp.at[j].add(P)
+      v = v.at[pa].add(-mA * P).at[ch].add(mB * P)
+      w = w.at[pa].add(-iA * cross_vv(rA, P)).at[ch].add(iB * cross_vv(rB, P))
+      return (v, w, j_imp, j_mot, j_lim), None
+
+    (v, w, j_imp, j_mot, j_lim), _ = jax.lax.scan(
+        one_joint, (v, w, j_imp, j_mot, j_lim),
+        jnp.arange(len(spec.j_parent)))
+    return v, w, j_imp, j_mot, j_lim
+
+  def wall_pass(v, w, wc):
+    # walls touch distinct (body) rows independently: parallel over bodies,
+    # sequential over the W*2 slots within each body
+    def one_slot(carry, idx):
+      v, w, wc = carry
+      wi, k = idx // 2, idx % 2
+      n = wall_n[wi]
+      t = jnp.stack([n[1], -n[0]])
+      rB = b.w_rB[:, wi, k]                                        # (N,2)
+      dv = v + cross_sv(w, rB)
+      # friction
+      vt = (dv * t).sum(-1)
+      lam = -b.w_tmass[:, wi, k] * vt
+      maxf = b.w_mu * wc[:, wi, k, 0]
+      new = jnp.clip(wc[:, wi, k, 1] + lam, -maxf, maxf)
+      d = new - wc[:, wi, k, 1]
+      wc = wc.at[:, wi, k, 1].set(new)
+      P = d[:, None] * t
+      v = v + b.inv_m[:, None] * P
+      w = w + b.inv_i * cross_vv(rB, P)
+      # normal
+      dv = v + cross_sv(w, rB)
+      vn = (dv * n).sum(-1)
+      lam = -b.w_nmass[:, wi, k] * (vn - b.w_bias[:, wi, k])
+      new = jnp.maximum(wc[:, wi, k, 0] + lam, 0.0)
+      d = new - wc[:, wi, k, 0]
+      wc = wc.at[:, wi, k, 0].set(new)
+      P = d[:, None] * n
+      v = v + b.inv_m[:, None] * P
+      w = w + b.inv_i * cross_vv(rB, P)
+      return (v, w, wc), None
+
+    (v, w, wc), _ = jax.lax.scan(one_slot, (v, w, wc), jnp.arange(nw * 2))
+    return v, w, wc
+
+  def pair_pass(v, w, pc):
+    def one_pair(carry, p):
+      v, w, pc = carry
+      a, bb = pair_a[p], pair_b[p]
+      n = b.p_n[p]
+      t = jnp.stack([n[1], -n[0]])
+      imA, imB, iA, iB = b.p_imA[p], b.p_imB[p], b.p_iiA[p], b.p_iiB[p]
+
+      def one_point(carry, k):
+        v, w, pc = carry
+        rA, rB = b.p_rA[p, k], b.p_rB[p, k]
+        dv = v[bb] + cross_sv(w[bb], rB) - v[a] - cross_sv(w[a], rA)
+        vt = (dv * t).sum(-1)
+        lam = -b.p_tmass[p, k] * vt
+        maxf = b.p_mu[p] * pc[p, k, 0]
+        new = jnp.clip(pc[p, k, 1] + lam, -maxf, maxf)
+        d = new - pc[p, k, 1]
+        pc = pc.at[p, k, 1].set(new)
+        P = d * t
+        v = v.at[a].add(-imA * P).at[bb].add(imB * P)
+        w = w.at[a].add(-iA * cross_vv(rA, P)).at[bb].add(iB * cross_vv(rB, P))
+        dv = v[bb] + cross_sv(w[bb], rB) - v[a] - cross_sv(w[a], rA)
+        vn = (dv * n).sum(-1)
+        lam = -b.p_nmass[p, k] * (vn - b.p_bias[p, k])
+        new = jnp.maximum(pc[p, k, 0] + lam, 0.0)
+        d = new - pc[p, k, 0]
+        pc = pc.at[p, k, 0].set(new)
+        P = d * n
+        v = v.at[a].add(-imA * P).at[bb].add(imB * P)
+        w = w.at[a].add(-iA * cross_vv(rA, P)).at[bb].add(iB * cross_vv(rB, P))
+        return (v, w, pc), None
+
+      (v, w, pc), _ = jax.lax.scan(one_point, (v, w, pc), jnp.arange(2))
+      return (v, w, pc), None
+
+    (v, w, pc), _ = jax.lax.scan(one_pair, (v, w, pc),
+                                 jnp.arange(len(spec.pair_a)))
+    return v, w, pc
+
+  def vel_iter(_, carry):
+    v, w, j_imp, j_mot, j_lim, wc, pc = carry
+    v, w, j_imp, j_mot, j_lim = joint_pass((v, w, j_imp, j_mot, j_lim))
+    v, w, wc = wall_pass(v, w, wc)
+    v, w, pc = pair_pass(v, w, pc)
+    return v, w, j_imp, j_mot, j_lim, wc, pc
+
+  v, w, j_imp, j_mot, j_lim, wc, pc = jax.lax.fori_loop(
+      0, spec.vel_iters, vel_iter,
+      (b.v, b.w, b.j_imp, b.j_mot, b.j_lim, b.wc, b.pc))
+  return b._replace(v=v, w=w, j_imp=j_imp, j_mot=j_mot, j_lim=j_lim,
+                    wc=wc, pc=pc)
+
+
 def step_world(spec: WorldSpec, state: WorldState, action: jnp.ndarray
                ) -> WorldState:
   """Advance one env step = spec.substeps physics substeps.
@@ -137,20 +335,58 @@ def step_world(spec: WorldSpec, state: WorldState, action: jnp.ndarray
   has_act = spec.j_act >= 0
   a_j = act[jnp.maximum(spec.j_act, 0)] * has_act
   motor_speed = spec.j_speed * a_j
-  max_torque = jnp.asarray(spec.j_torque)
 
   # a changed motor speed wakes the joint's bodies (pybox2d SetMotorSpeed)
   motor_changed = (motor_speed != state.prev_motor) & jnp.asarray(spec.j_valid)
 
   def sub(st, _):
-    return _substep(spec, st, motor_speed, max_torque, motor_changed), None
+    return _substep(spec, st, motor_speed, motor_changed), None
 
   state, _ = jax.lax.scan(sub, state, None, length=spec.substeps)
   return state._replace(ep_t=state.ep_t + 1, prev_motor=motor_speed)
 
 
-def _substep(spec: WorldSpec, st: WorldState, motor_speed, max_torque,
+def _substep(spec: WorldSpec, st: WorldState, motor_speed,
              motor_changed) -> WorldState:
+  bundle, aux = _presolve(spec, st, motor_speed)
+  bundle = velocity_solve(spec, bundle)
+  return _postsolve(spec, st, bundle, aux, motor_changed)
+
+
+def step_world_batch(spec: WorldSpec, states: WorldState, actions,
+                     velocity_solver=None) -> WorldState:
+  """Batched env step over a leading worlds axis.
+
+  Equivalent to `jax.vmap(step_world)`, but the velocity-iteration stage runs
+  on the WHOLE batch so a fused batched solver (the Pallas kernel in
+  engine/pallas_solver.py) can be swapped in via `velocity_solver(bundle)`.
+  """
+  act = jnp.clip(actions, -1.0, 1.0)
+  has_act = spec.j_act >= 0
+  a_j = act[:, np.maximum(spec.j_act, 0)] * has_act[None]
+  motor_speed = spec.j_speed[None] * a_j                          # (B, J)
+  motor_changed = (motor_speed != states.prev_motor) \
+      & jnp.asarray(spec.j_valid)[None]
+
+  def sub(states, _):
+    bundle, aux = jax.vmap(
+        lambda s, ms: _presolve(spec, s, ms))(states, motor_speed)
+    if velocity_solver is None:
+      bundle = jax.vmap(lambda bb: velocity_solve(spec, bb))(bundle)
+    else:
+      bundle = velocity_solver(bundle)
+    new_states = jax.vmap(
+        lambda s, bb, ax, mc: _postsolve(spec, s, bb, ax, mc))(
+            states, bundle, aux, motor_changed)
+    return new_states, None
+
+  states, _ = jax.lax.scan(sub, states, None, length=spec.substeps)
+  return states._replace(ep_t=states.ep_t + 1, prev_motor=motor_speed)
+
+
+def _presolve(spec: WorldSpec, st: WorldState, motor_speed):
+  """Steps 1-5: integrate velocities, narrowphase, warm start; build the
+  solver bundle."""
   dt = spec.dt
   inv_dt = 1.0 / dt
   inv_m, inv_i = body_inv_mass(spec, st.is_circle)
@@ -274,138 +510,42 @@ def _substep(spec: WorldSpec, st: WorldState, motor_speed, max_torque,
   j_mot_i = st.j_mot * j_valid
   j_imp_i = jP
 
-  # ---- 6. velocity iterations ------------------------------------------------
-  def joint_pass(carry):
-    v, w, j_imp, j_mot, j_lim = carry
+  bundle = SolveBundle(
+      v=v, w=w, j_imp=j_imp_i, j_mot=j_mot_i, j_lim=j_lim_i,
+      wc=wc_imp, pc=pc_imp, inv_m=inv_m, inv_i=inv_i,
+      j_rA=j_rA, j_rB=j_rB, j_axmass=j_axmass, j_state=j_state,
+      j_mA=j_mA, j_mB=j_mB, j_iA=j_iA, j_iB=j_iB, motor_speed=motor_speed,
+      w_rB=w_rB, w_nmass=w_nmass, w_tmass=w_tmass, w_bias=w_bias,
+      w_mu=w_mu[:, 0, 0],
+      p_n=pairm.normal, p_rA=p_rA, p_rB=p_rB, p_nmass=p_nmass,
+      p_tmass=p_tmass, p_bias=p_bias, p_mu=p_mu[:, 0],
+      p_imA=p_imA[:, 0], p_imB=p_imB[:, 0], p_iiA=p_iiA[:, 0],
+      p_iiB=p_iiB[:, 0])
+  return bundle, PostAux(wallm=wallm, pairm=pairm, j_state=j_state, lc=lc)
 
-    def one_joint(vw, j):
-      v, w, j_imp, j_mot, j_lim = vw
-      pa, ch = j_pa[j], j_ch[j]
-      iA, iB, mA, mB = j_iA[j], j_iB[j], j_mA[j], j_mB[j]
-      rA, rB = j_rA[j], j_rB[j]
-      # motor (inactive when limits are equal; reference keeps motors enabled
-      # on every joint, world_env.py:255-267)
-      cdot = w[ch] - w[pa] - motor_speed[j]
-      imp = -j_axmass[j] * cdot
-      cap = max_torque[j] * dt
-      new = jnp.clip(j_mot[j] + imp, -cap, cap)
-      d = jnp.where(j_equal[j], 0.0, new - j_mot[j]) * j_valid[j]
-      j_mot = j_mot.at[j].add(d)
-      w = w.at[pa].add(-iA * d).at[ch].add(iB * d)
-      # limits (Box2D 2.3 state-based accumulator, no speculation)
-      state = j_state[j]
-      cdot = w[ch] - w[pa]
-      imp = -j_axmass[j] * cdot
-      acc = j_lim[j] + imp
-      acc = jnp.where(state == 1, jnp.maximum(acc, 0.0),
-                      jnp.where(state == 2, jnp.minimum(acc, 0.0), acc))
-      d = jnp.where(state > 0, acc - j_lim[j], 0.0) * j_valid[j]
-      j_lim = j_lim.at[j].add(d)
-      w = w.at[pa].add(-iA * d).at[ch].add(iB * d)
-      # point constraint (2x2)
-      cdot = v[ch] + cross_sv(w[ch], rB) - v[pa] - cross_sv(w[pa], rA)
-      k11 = mA + mB + iA * rA[1] ** 2 + iB * rB[1] ** 2
-      k12 = -iA * rA[0] * rA[1] - iB * rB[0] * rB[1]
-      k22 = mA + mB + iA * rA[0] ** 2 + iB * rB[0] ** 2
-      det = k11 * k22 - k12 * k12
-      det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-      P = -jnp.stack([k22 * cdot[0] - k12 * cdot[1],
-                      k11 * cdot[1] - k12 * cdot[0]]) / det
-      P = P * j_valid[j]
-      j_imp = j_imp.at[j].add(P)
-      v = v.at[pa].add(-mA * P).at[ch].add(mB * P)
-      w = w.at[pa].add(-iA * cross_vv(rA, P)).at[ch].add(iB * cross_vv(rB, P))
-      return (v, w, j_imp, j_mot, j_lim), None
 
-    (v, w, j_imp, j_mot, j_lim), _ = jax.lax.scan(
-        one_joint, (v, w, j_imp, j_mot, j_lim),
-        jnp.arange(len(spec.j_parent)))
-    return v, w, j_imp, j_mot, j_lim
-
-  def wall_pass(v, w, wc):
-    # walls touch distinct (body) rows independently: parallel over bodies,
-    # sequential over the W*2 slots within each body
-    def one_slot(carry, idx):
-      v, w, wc = carry
-      wi, k = idx // 2, idx % 2
-      n = wall_n[wi]
-      t = jnp.stack([n[1], -n[0]])
-      rB = w_rB[:, wi, k]                                          # (N,2)
-      dv = v + cross_sv(w, rB)
-      # friction
-      vt = (dv * t).sum(-1)
-      lam = -w_tmass[:, wi, k] * vt
-      maxf = w_mu[:, 0, 0] * wc[:, wi, k, 0]
-      new = jnp.clip(wc[:, wi, k, 1] + lam, -maxf, maxf)
-      d = new - wc[:, wi, k, 1]
-      wc = wc.at[:, wi, k, 1].set(new)
-      P = d[:, None] * t
-      v = v + inv_m[:, None] * P
-      w = w + inv_i * cross_vv(rB, P)
-      # normal
-      dv = v + cross_sv(w, rB)
-      vn = (dv * n).sum(-1)
-      lam = -w_nmass[:, wi, k] * (vn - w_bias[:, wi, k])
-      new = jnp.maximum(wc[:, wi, k, 0] + lam, 0.0)
-      d = new - wc[:, wi, k, 0]
-      wc = wc.at[:, wi, k, 0].set(new)
-      P = d[:, None] * n
-      v = v + inv_m[:, None] * P
-      w = w + inv_i * cross_vv(rB, P)
-      return (v, w, wc), None
-
-    (v, w, wc), _ = jax.lax.scan(one_slot, (v, w, wc), jnp.arange(nw * 2))
-    return v, w, wc
-
-  def pair_pass(v, w, pc):
-    def one_pair(carry, p):
-      v, w, pc = carry
-      a, b = pair_a[p], pair_b[p]
-      n = pairm.normal[p]
-      t = jnp.stack([n[1], -n[0]])
-      imA, imB, iA, iB = p_imA[p, 0], p_imB[p, 0], p_iiA[p, 0], p_iiB[p, 0]
-
-      def one_point(carry, k):
-        v, w, pc = carry
-        rA, rB = p_rA[p, k], p_rB[p, k]
-        dv = v[b] + cross_sv(w[b], rB) - v[a] - cross_sv(w[a], rA)
-        vt = (dv * t).sum(-1)
-        lam = -p_tmass[p, k] * vt
-        maxf = p_mu[p, 0] * pc[p, k, 0]
-        new = jnp.clip(pc[p, k, 1] + lam, -maxf, maxf)
-        d = new - pc[p, k, 1]
-        pc = pc.at[p, k, 1].set(new)
-        P = d * t
-        v = v.at[a].add(-imA * P).at[b].add(imB * P)
-        w = w.at[a].add(-iA * cross_vv(rA, P)).at[b].add(iB * cross_vv(rB, P))
-        dv = v[b] + cross_sv(w[b], rB) - v[a] - cross_sv(w[a], rA)
-        vn = (dv * n).sum(-1)
-        lam = -p_nmass[p, k] * (vn - p_bias[p, k])
-        new = jnp.maximum(pc[p, k, 0] + lam, 0.0)
-        d = new - pc[p, k, 0]
-        pc = pc.at[p, k, 0].set(new)
-        P = d * n
-        v = v.at[a].add(-imA * P).at[b].add(imB * P)
-        w = w.at[a].add(-iA * cross_vv(rA, P)).at[b].add(iB * cross_vv(rB, P))
-        return (v, w, pc), None
-
-      (v, w, pc), _ = jax.lax.scan(one_point, (v, w, pc), jnp.arange(2))
-      return (v, w, pc), None
-
-    (v, w, pc), _ = jax.lax.scan(one_pair, (v, w, pc),
-                                 jnp.arange(len(spec.pair_a)))
-    return v, w, pc
-
-  def vel_iter(_, carry):
-    v, w, j_imp, j_mot, j_lim, wc, pc = carry
-    v, w, j_imp, j_mot, j_lim = joint_pass((v, w, j_imp, j_mot, j_lim))
-    v, w, wc = wall_pass(v, w, wc)
-    v, w, pc = pair_pass(v, w, pc)
-    return v, w, j_imp, j_mot, j_lim, wc, pc
-
-  v, w, j_imp, j_mot, j_lim, wc_imp, pc_imp = jax.lax.fori_loop(
-      0, spec.vel_iters, vel_iter,
-      (v, w, j_imp_i, j_mot_i, j_lim_i, wc_imp, pc_imp))
+def _postsolve(spec: WorldSpec, st: WorldState, b: SolveBundle, aux: PostAux,
+               motor_changed) -> WorldState:
+  """Steps 7-10: integrate positions, NGS corrections, sleeping, writeback."""
+  dt = spec.dt
+  wallm, pairm, j_state, lc = aux.wallm, aux.pairm, aux.j_state, aux.lc
+  inv_m, inv_i = b.inv_m, b.inv_i
+  v, w = b.v, b.w
+  j_imp, j_mot, j_lim = b.j_imp, b.j_mot, b.j_lim
+  wc_imp, pc_imp = b.wc, b.pc
+  nw = len(spec.wall_offset)
+  wall_n = jnp.asarray(spec.wall_normal)
+  wall_off = jnp.asarray(spec.wall_offset)
+  j_pa, j_ch = jnp.asarray(spec.j_parent), jnp.asarray(spec.j_child)
+  pair_a, pair_b = jnp.asarray(spec.pair_a), jnp.asarray(spec.pair_b)
+  j_lower = jnp.asarray(spec.j_lower)
+  j_upper = jnp.asarray(spec.j_upper)
+  j_anchor_a = jnp.asarray(spec.j_anchor_a)
+  j_anchor_b = jnp.asarray(spec.j_anchor_b)
+  j_valid = jnp.asarray(spec.j_valid)
+  j_axmass = b.j_axmass
+  j_iA, j_iB, j_mA, j_mB = b.j_iA, b.j_iB, b.j_mA, b.j_mB
+  lc_j = jnp.asarray(lc)
 
   # ---- 7. integrate positions --------------------------------------------------
   c = st.c + dt * v

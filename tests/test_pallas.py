@@ -1,0 +1,35 @@
+"""Pallas fused velocity-solver kernel vs the jnp reference path
+(interpret mode on CPU; the real kernel runs on TPU via bench/step_world_batch)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import boxlcd_tpu
+from boxlcd_tpu.engine import physics
+from boxlcd_tpu.engine.pallas_solver import BLOCK, make_batched_solver
+
+
+@pytest.mark.parametrize('env_name', ['UrchinBall'])
+def test_pallas_velocity_solver_matches_jnp(env_name):
+  env = boxlcd_tpu.env_map[env_name]()
+  spec = env.spec
+  B = BLOCK
+  keys = jax.random.split(jax.random.PRNGKey(0), B)
+  states = jax.vmap(lambda k: boxlcd_tpu.Env.reset(env, k))(keys)
+  acts = jax.random.uniform(jax.random.PRNGKey(1), (B, env.act_size),
+                            minval=-1, maxval=1)
+  # a few steps to build contacts before the comparison step
+  warm = jax.jit(lambda s, a: physics.step_world_batch(spec, s, a))
+  for _ in range(3):
+    states = warm(states, acts)
+
+  ref = physics.step_world_batch(spec, states, acts)
+  solver = make_batched_solver(spec, interpret=True)
+  pal = physics.step_world_batch(spec, states, acts, velocity_solver=solver)
+
+  for field in ['v', 'w', 'c', 'a']:
+    r = np.asarray(getattr(ref, field))
+    p = np.asarray(getattr(pal, field))
+    err = np.abs(r - p).max()
+    assert err < 1e-4, f'{field} mismatch {err}'
