@@ -90,12 +90,14 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
     traj['lcd'] = traj['lcd'].astype(bool)
     timestamp = datetime.now().strftime('%Y%m%dT%H%M%S')
     if G.get('barrel_format', 'npz') == 'native':
-      # bit-packed + xor-delta LCD via the C++ codec: ~8x smaller payload
+      # bit-packed + xor-delta LCD via the C++ codec (~8x smaller payload);
+      # stored uncompressed — zlib on the single-core host would dominate
+      # the whole datagen pipeline otherwise
       from boxlcd_tpu.data import native
       blob = native.pack_frames(traj.pop('lcd'))
-      np.savez_compressed(logdir / f'{timestamp}-{T}.tbarrel',
-                          action=action, lcd_packed=blob['data'],
-                          lcd_shape=blob['shape'], **traj)
+      np.savez(logdir / f'{timestamp}-{T}.tbarrel',
+               action=action, lcd_packed=blob['data'],
+               lcd_shape=blob['shape'], **traj)
     else:
       np.savez_compressed(logdir / f'{timestamp}-{T}.barrel',
                           action=action, **traj)

@@ -25,6 +25,9 @@ def main():
   n_eps = 100_000 if args.full else 2_000
   bvae_iters = 30_000 if args.full else 200
   fbt_iters = 100_000 if args.full else 200
+  # reference model budgets (research/scripts/kicker.py:17-87)
+  fbt_embed, fbt_head, fbt_layer = (512, 8, 4) if args.full else (64, 2, 1)
+  window = 50 if args.full else 12
 
   work = Path(args.workdir)
   t0 = time.time()
@@ -32,7 +35,8 @@ def main():
   # --- datagen --------------------------------------------------------------
   G = config()
   G.update(env='Urchin', logdir=work / 'data', ep_len=50,
-           train_barrels=n_eps // 1000, test_barrels=1, num_envs=1000)
+           train_barrels=n_eps // 1000, test_barrels=1, num_envs=1000,
+           barrel_format='native')
   from boxlcd_tpu.data.collect import collect
   collect(env_fn(G), G)
   t_data = time.time() - t0
@@ -43,7 +47,8 @@ def main():
   G2 = config()
   G2.update(env='Urchin', datadir=work / 'data', logdir=work / 'bvae',
             total_itr=bvae_iters, log_n=max(bvae_iters // 4, 1), bs=32,
-            window=12, hidden_size=64, nfilter=16, vqD=16, ep_len=50)
+            window=5, hidden_size=64, nfilter=16, vqD=16, vqK=64, ep_len=50,
+            lr=5e-4)
   env = env_fn(G2)()
   Trainer(BVAE(env, G2), env, G2).run()
   t_bvae = time.time() - t0 - t_data
@@ -53,9 +58,9 @@ def main():
   G3 = config()
   G3.update(env='Urchin', datadir=work / 'data', weightdir=work / 'bvae',
             logdir=work / 'fbt', total_itr=fbt_iters,
-            log_n=max(fbt_iters // 4, 1), bs=32, window=12, n_embed=256,
-            n_head=4, n_layer=2, hidden_size=64, nfilter=16, vqD=16,
-            ep_len=50)
+            log_n=max(fbt_iters // 4, 1), bs=32, window=window,
+            n_embed=fbt_embed, n_head=fbt_head, n_layer=fbt_layer,
+            hidden_size=64, nfilter=16, vqD=16, vqK=64, ep_len=50, lr=5e-4)
   env3 = env_fn(G3)()
   Trainer(FBT(env3, G3), env3, G3).run()
   total = time.time() - t0
