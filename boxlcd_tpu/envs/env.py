@@ -13,8 +13,6 @@ use and for cross-validation against the CPU Box2D oracle.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -44,8 +44,7 @@ def dump_logger(logger, writer, itr, G):
   print('=' * 30)
   print(f'itr {itr}')
   out = {}
-  data = logger.items() if hasattr(logger, 'items') else logger.items()
-  for key, val in data:
+  for key, val in logger.items():
     mean = float(np.mean([np.asarray(v).mean() for v in np.atleast_1d(val)])) \
         if isinstance(val, list) else float(np.mean(val))
     out[key] = mean
