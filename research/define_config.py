@@ -55,6 +55,7 @@ def config():
   G.test_barrels = 1
   G.barrel_format = 'npz'  # 'npz' (reference layout) | 'native' (bit-packed)
   G.profile = 0  # capture a jax.profiler trace for the first ~50 train iters
+  G.steps_per_dispatch = 1  # K train steps per device dispatch (lax.scan)
   G.grad_clip = 10.0
 
   G.bs = 64

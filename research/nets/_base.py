@@ -56,7 +56,26 @@ class Net:
       _, metrics = self.loss_fn(params, batch, rng)
       return metrics
 
+    def update_many(params, opt_state, batches, rng):
+      """lax.scan over K update steps — one dispatch per chunk, which
+      matters when per-call latency dominates (remote TPU tunnels)."""
+      def body(carry, batch):
+        params, opt_state, rng = carry
+        rng, k = jax.random.split(rng)
+        (loss, metrics), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True)(params, batch, k)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = self.opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics['grad_norm'] = gnorm
+        return (params, opt_state, rng), metrics
+      (params, opt_state, _), metrics = jax.lax.scan(
+          body, (params, opt_state, rng), batches)
+      return params, opt_state, metrics
+
     self._update = jax.jit(update)
+    self._update_many = jax.jit(update_many)
     self._dry = jax.jit(dry)
 
   def _rng(self):
@@ -71,6 +90,13 @@ class Net:
       self.params, self.opt_state, metrics = self._update(
           self.params, self.opt_state, batch, self._rng())
     return metrics
+
+  def train_steps(self, batches):
+    """K update steps in ONE device dispatch; batches have a leading K axis.
+    Returns the metrics of the final step."""
+    self.params, self.opt_state, metrics = self._update_many(
+        self.params, self.opt_state, batches, self._rng())
+    return {k: v[-1] for k, v in metrics.items()}
 
   def save(self, direc):
     direc = Path(direc)

@@ -57,13 +57,25 @@ class Trainer:
     if G.get('profile', 0):
       import jax
       jax.profiler.start_trace(str(G.logdir))  # view with tensorboard/xprof
-    for itr in range(1, int(G.total_itr) + 1):
-      with utils.Timer(self.logger, 'sample_batch'):
-        batch = self.b(next(train_iter))
-      with utils.Timer(self.logger, 'train_step'):
-        metrics = self.model.train_step(batch)
+    chunk = max(1, int(G.get('steps_per_dispatch', 1)))
+    itr = 0
+    while itr < int(G.total_itr):
+      if chunk > 1:
+        with utils.Timer(self.logger, 'sample_batch'):
+          batches = [next(train_iter) for _ in range(chunk)]
+          stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+                     for k in batches[0]}
+        with utils.Timer(self.logger, 'train_step'):
+          metrics = self.model.train_steps(stacked)
+        itr += chunk
+      else:
+        with utils.Timer(self.logger, 'sample_batch'):
+          batch = self.b(next(train_iter))
+        with utils.Timer(self.logger, 'train_step'):
+          metrics = self.model.train_step(batch)
+        itr += 1
       self.logger.update(metrics)
-      if itr % G.log_n == 0 or itr == 1:
+      if itr % G.log_n < chunk or itr <= chunk:
         with utils.Timer(self.logger, 'test'):
           test_batch = self.b(next(test_iter))
           tm = self.model.train_step(test_batch, dry=True)

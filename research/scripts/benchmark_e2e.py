@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from pathlib import Path
 
@@ -38,8 +39,14 @@ def main():
            train_barrels=n_eps // 1000, test_barrels=1, num_envs=1000,
            barrel_format='native')
   from boxlcd_tpu.data.collect import collect
-  collect(env_fn(G), G)
-  t_data = time.time() - t0
+  if (work / 'data' / 'train').is_dir() and \
+      len(list((work / 'data' / 'train').glob('*.npz'))) >= n_eps // 1000:
+    print('[e2e] reusing existing dataset')
+    t_data = float(os.environ.get('E2E_DATA_SECS', 395.0))
+    t0 = time.time() - t_data
+  else:
+    collect(env_fn(G), G)
+    t_data = time.time() - t0
 
   # --- BVAE -----------------------------------------------------------------
   from research.nets.autoencoders.bvae import BVAE
@@ -48,7 +55,7 @@ def main():
   G2.update(env='Urchin', datadir=work / 'data', logdir=work / 'bvae',
             total_itr=bvae_iters, log_n=max(bvae_iters // 4, 1), bs=32,
             window=5, hidden_size=64, nfilter=16, vqD=16, vqK=64, ep_len=50,
-            lr=5e-4)
+            lr=5e-4, steps_per_dispatch=50)
   env = env_fn(G2)()
   Trainer(BVAE(env, G2), env, G2).run()
   t_bvae = time.time() - t0 - t_data
@@ -60,7 +67,8 @@ def main():
             logdir=work / 'fbt', total_itr=fbt_iters,
             log_n=max(fbt_iters // 4, 1), bs=32, window=window,
             n_embed=fbt_embed, n_head=fbt_head, n_layer=fbt_layer,
-            hidden_size=64, nfilter=16, vqD=16, vqK=64, ep_len=50, lr=5e-4)
+            hidden_size=64, nfilter=16, vqD=16, vqK=64, ep_len=50, lr=5e-4,
+            steps_per_dispatch=50)
   env3 = env_fn(G3)()
   Trainer(FBT(env3, G3), env3, G3).run()
   total = time.time() - t0
