@@ -30,8 +30,10 @@ class Bernoulli:
     return (u < jax.nn.sigmoid(self.logits / temp)).astype(jnp.float32)
 
   def entropy(self):
+    # logit-space form; stable where sigmoid saturates (TPU)
     p = self.probs
-    return -(p * jnp.log(p + 1e-12) + (1 - p) * jnp.log(1 - p + 1e-12))
+    return p * jax.nn.softplus(-self.logits) \
+        + (1 - p) * jax.nn.softplus(self.logits)
 
   @property
   def mode(self):

@@ -19,8 +19,10 @@ def binary_quantize(z_logits, key, noise=True):
   probs>0.5 mode used at encode/serve time.
   """
   probs = jax.nn.sigmoid(z_logits)
-  entropy = -(probs * jnp.log(probs + 1e-12)
-              + (1 - probs) * jnp.log(1 - probs + 1e-12)).mean()
+  # logit-space entropy: H = p*softplus(-l) + (1-p)*softplus(l). The naive
+  # p*log(p) form NaNs on TPU once sigmoid saturates (observed at |l| ~ 18).
+  entropy = (probs * jax.nn.softplus(-z_logits)
+             + (1 - probs) * jax.nn.softplus(z_logits)).mean()
   if noise:
     sample = (jax.random.uniform(key, z_logits.shape) < probs).astype(jnp.float32)
   else:

@@ -48,29 +48,34 @@ def main():
     collect(env_fn(G), G)
     t_data = time.time() - t0
 
-  # --- BVAE -----------------------------------------------------------------
+  # --- BVAE (device-resident dataset: zero host round-trips per step) --------
+  from boxlcd_tpu.data.device_dataset import DeviceDataset, train_device
   from research.nets.autoencoders.bvae import BVAE
-  from research.runners.trainer import Trainer
+  ds = DeviceDataset(work / 'data' / 'train')
+  print(f'[e2e] dataset on device: {ds.n_episodes} episodes')
   G2 = config()
   G2.update(env='Urchin', datadir=work / 'data', logdir=work / 'bvae',
-            total_itr=bvae_iters, log_n=max(bvae_iters // 4, 1), bs=32,
-            window=5, hidden_size=64, nfilter=16, vqD=16, vqK=64, ep_len=50,
-            lr=5e-4, steps_per_dispatch=50)
+            total_itr=bvae_iters, bs=32, window=5, hidden_size=64,
+            nfilter=16, vqD=16, vqK=64, ep_len=50, lr=5e-4)
   env = env_fn(G2)()
-  Trainer(BVAE(env, G2), env, G2).run()
+  bvae = BVAE(env, G2)
+  train_device(bvae, ds, bvae_iters, bs=32, window=5, chunk=200,
+               log_every=bvae_iters // 4)
+  bvae.save(work / 'bvae')
   t_bvae = time.time() - t0 - t_data
 
   # --- FBT ------------------------------------------------------------------
   from research.nets.video_models.fbt import FBT
   G3 = config()
   G3.update(env='Urchin', datadir=work / 'data', weightdir=work / 'bvae',
-            logdir=work / 'fbt', total_itr=fbt_iters,
-            log_n=max(fbt_iters // 4, 1), bs=32, window=window,
+            logdir=work / 'fbt', total_itr=fbt_iters, bs=32, window=window,
             n_embed=fbt_embed, n_head=fbt_head, n_layer=fbt_layer,
-            hidden_size=64, nfilter=16, vqD=16, vqK=64, ep_len=50, lr=5e-4,
-            steps_per_dispatch=50)
+            hidden_size=64, nfilter=16, vqD=16, vqK=64, ep_len=50, lr=5e-4)
   env3 = env_fn(G3)()
-  Trainer(FBT(env3, G3), env3, G3).run()
+  fbt = FBT(env3, G3)
+  train_device(fbt, ds, fbt_iters, bs=32, window=window, chunk=100,
+               log_every=fbt_iters // 4)
+  fbt.save(work / 'fbt')
   total = time.time() - t0
 
   print(json.dumps({
