@@ -33,7 +33,10 @@ class GPT(nn.Module):
       if c.ndim == 2:
         c = jnp.repeat(c[:, None], T, 1)
       h = jnp.concatenate([h, c], -1)
-    pos = self.param('pos_emb', nn.initializers.zeros,
+    # nonzero init required: shift-right makes the t=0 token all-zero, and a
+    # zero vector through LayerNorm has a 1/sqrt(eps) backward blowup that
+    # compounds per block to inf grads (clip then zeroes every update)
+    pos = self.param('pos_emb', nn.initializers.normal(0.02),
                      (1, self.block_size, self.n_embed))
     h = h + pos[:, :T]
     for i in range(self.n_layer):

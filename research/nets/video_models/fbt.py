@@ -39,7 +39,10 @@ class FBTModule(nn.Module):
                          action[:, :-1]], 1)
     cin = nn.Dense(self.n_embed // 2, use_bias=False, name='cond_in')(a)
     x = jnp.concatenate([x, cin], -1)
-    pos = self.param('pos_emb', nn.initializers.zeros,
+    # nonzero init required: shift-right makes the t=0 token all-zero, and a
+    # zero vector through LayerNorm has a 1/sqrt(eps) backward blowup that
+    # compounds per block to inf grads (clip then zeroes every update)
+    pos = self.param('pos_emb', nn.initializers.normal(0.02),
                      (1, self.block_size, self.n_embed))
     x = x + pos[:, :T]
     for i in range(self.n_layer):

@@ -28,7 +28,7 @@ class FRNLDModule(nn.Module):
                          action[:, :-1]], 1)
     cin = nn.Dense(self.n_embed // 2, use_bias=False, name='cond_in')(a)
     x = jnp.concatenate([x, cin], -1)
-    pos = self.param('pos_emb', nn.initializers.zeros,
+    pos = self.param('pos_emb', nn.initializers.normal(0.02),
                      (1, self.block_size, self.n_embed))
     x = x + pos[:, :T]
     for i in range(self.n_layer):

@@ -120,3 +120,19 @@ def test_metrics():
   assert float(M.fid(f1, f2)) < 0.1
   pr = M.precision_recall_f1(f1, f1)
   assert float(pr['f1']) > 0.9
+
+
+def test_fbt_init_grads_finite(env):
+  """Regression: with a zeros pos_emb, the shift-right all-zero t=0 token made
+  LayerNorm's backward blow up (1/sqrt(eps) per LN, compounding per block to
+  inf), so clip_by_global_norm zeroed every update and FBT never trained."""
+  import optax
+  from research.nets.autoencoders.bvae import BVAE
+  from research.nets.video_models.fbt import FBT
+  G = tiny_G(wh_ratio=env.G.wh_ratio, lcd_base=env.G.lcd_base)
+  model = FBT(env, G, bvae=BVAE(env, G))
+  batch = fake_batch(env, G)
+  (_, _), grads = jax.value_and_grad(model.loss_fn, has_aux=True)(
+      model.params, batch, jax.random.PRNGKey(0))
+  gnorm = float(optax.global_norm(grads))
+  assert np.isfinite(gnorm) and gnorm < 1e3, gnorm
