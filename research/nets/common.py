@@ -23,7 +23,11 @@ class CausalSelfAttention(nn.Module):
   block_size: int
 
   @nn.compact
-  def __call__(self, x):
+  def __call__(self, x, cache=None, index=None):
+    """Full causal attention over x (B,T,E). With `cache=(k,v)` each
+    (B,H,S,hs) and a position `index`, x is a single token (B,1,E): its k/v
+    are written into the cache at `index` and attention runs against the
+    cached prefix — O(S) per step instead of O(S^2) full forwards."""
     B, T, E = x.shape
     hs = self.n_embed // self.n_head
     qkv = nn.Dense(3 * self.n_embed, name='qkv')(x)
@@ -31,13 +35,24 @@ class CausalSelfAttention(nn.Module):
     q = q.reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
-    att = jnp.einsum('bhqd,bhkd->bhqk', q, k) / np.sqrt(hs)
-    mask = jnp.tril(jnp.ones((T, T), bool))
-    att = jnp.where(mask[None, None], att, -jnp.inf)
+    if cache is None:
+      att = jnp.einsum('bhqd,bhkd->bhqk', q, k) / np.sqrt(hs)
+      mask = jnp.tril(jnp.ones((T, T), bool))
+      att = jnp.where(mask[None, None], att, -jnp.inf)
+      att = jax.nn.softmax(att, -1)
+      y = jnp.einsum('bhqk,bhkd->bhqd', att, v)
+      y = y.transpose(0, 2, 1, 3).reshape(B, T, self.n_embed)
+      return nn.Dense(self.n_embed, name='proj')(y)
+    ck, cv = cache
+    ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, index, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, index, 0))
+    att = jnp.einsum('bhqd,bhkd->bhqk', q, ck) / np.sqrt(hs)  # (B,H,1,S)
+    valid = jnp.arange(ck.shape[2]) <= index
+    att = jnp.where(valid[None, None, None], att, -jnp.inf)
     att = jax.nn.softmax(att, -1)
-    y = jnp.einsum('bhqk,bhkd->bhqd', att, v)
-    y = y.transpose(0, 2, 1, 3).reshape(B, T, self.n_embed)
-    return nn.Dense(self.n_embed, name='proj')(y)
+    y = jnp.einsum('bhqk,bhkd->bhqd', att, cv)
+    y = y.transpose(0, 2, 1, 3).reshape(B, 1, self.n_embed)
+    return nn.Dense(self.n_embed, name='proj')(y), (ck, cv)
 
 
 class TransformerBlock(nn.Module):
@@ -47,14 +62,20 @@ class TransformerBlock(nn.Module):
   block_size: int
 
   @nn.compact
-  def __call__(self, x):
-    x = x + CausalSelfAttention(self.n_embed, self.n_head, self.block_size,
-                                name='attn')(nn.LayerNorm(name='ln1')(x))
+  def __call__(self, x, cache=None, index=None):
+    attn = CausalSelfAttention(self.n_embed, self.n_head, self.block_size,
+                               name='attn')
+    if cache is None:
+      x = x + attn(nn.LayerNorm(name='ln1')(x))
+    else:
+      a, cache = attn(nn.LayerNorm(name='ln1')(x), cache, index)
+      x = x + a
     h = nn.LayerNorm(name='ln2')(x)
     h = nn.Dense(4 * self.n_embed)(h)
     h = nn.gelu(h)
     h = nn.Dense(self.n_embed)(h)
-    return x + h
+    out = x + h
+    return out if cache is None else (out, cache)
 
 
 class GaussHead(nn.Module):
@@ -207,3 +228,9 @@ def aggregate(x, axis=1):
   return jnp.concatenate([
       x.min(axis=axis), x.max(axis=axis),
       x.std(axis=axis), x.mean(axis=axis)], -1)
+
+
+def zero_params(params):
+  """Zero out a parameter pytree (reference: common.py:16-20 zero_module) —
+  functional form: returns a new pytree rather than mutating modules."""
+  return jax.tree_util.tree_map(jnp.zeros_like, params)

@@ -65,3 +65,32 @@ def sample(module, params, key, n, block_size, in_size, cond=None, temp=1.0):
   keys = jax.random.split(key, block_size)
   x, _ = jax.lax.scan(body, x, (jnp.arange(block_size), keys))
   return x
+
+
+class GPTDist:
+  """Distribution-style wrapper over a GPT: log_prob over scalar token
+  streams and conditional sampling (reference: common.py:172-183, unused by
+  reference models but part of its public surface). Conditioning x has shape
+  (B, T, c); token streams (B, T, L)."""
+
+  def __init__(self, module, params, key, x):
+    self.module = module
+    self.params = params
+    self.key = key
+    self.x = x
+
+  def _flat(self, a):
+    return a.reshape(-1, *a.shape[2:])
+
+  def log_prob(self, state):
+    s = self._flat(state)[..., None]
+    dist = self.module.apply(self.params, s, self._flat(self.x))
+    return dist.log_prob(s)
+
+  def sample(self):
+    shape = self.x.shape
+    n = shape[0] * shape[1]
+    out = sample(self.module, self.params, self.key, n,
+                 self.module.block_size, self.module.in_size,
+                 cond=self._flat(self.x))
+    return out.reshape(shape[0], shape[1], -1)

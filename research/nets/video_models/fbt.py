@@ -25,7 +25,22 @@ class FBTModule(nn.Module):
   z_size: int
   act_n: int
 
-  @nn.compact
+  def setup(self):
+    # attribute names ARE the param-tree keys (checkpoint-compatible with
+    # the earlier @nn.compact version)
+    self.embed = nn.Dense(self.n_embed // 2, use_bias=False)
+    self.cond_in = nn.Dense(self.n_embed // 2, use_bias=False)
+    # nonzero init required: shift-right makes the t=0 token all-zero, and a
+    # zero vector through LayerNorm has a 1/sqrt(eps) backward blowup that
+    # compounds per block to inf grads (clip then zeroes every update)
+    self.pos_emb = self.param('pos_emb', nn.initializers.normal(0.02),
+                              (1, self.block_size, self.n_embed))
+    for i in range(self.n_layer):
+      setattr(self, f'block{i}',
+              TransformerBlock(self.n_embed, self.n_head, self.block_size))
+    self.ln_f = nn.LayerNorm()
+    self.dist_head = BinaryHead(self.z_size)
+
   def __call__(self, z, action):
     """z (B, T, z_size), action (B, T, act_n) -> token logits (B, T, z_size).
 
@@ -33,23 +48,35 @@ class FBTModule(nn.Module):
     (reference: flat_btoken.py:52-67).
     """
     B, T, _ = z.shape
-    x = nn.Dense(self.n_embed // 2, use_bias=False, name='embed')(z)
+    x = self.embed(z)
     x = jnp.concatenate([jnp.zeros((B, 1, x.shape[-1])), x[:, :-1]], 1)
     a = jnp.concatenate([jnp.zeros((B, 1, action.shape[-1])),
                          action[:, :-1]], 1)
-    cin = nn.Dense(self.n_embed // 2, use_bias=False, name='cond_in')(a)
-    x = jnp.concatenate([x, cin], -1)
-    # nonzero init required: shift-right makes the t=0 token all-zero, and a
-    # zero vector through LayerNorm has a 1/sqrt(eps) backward blowup that
-    # compounds per block to inf grads (clip then zeroes every update)
-    pos = self.param('pos_emb', nn.initializers.normal(0.02),
-                     (1, self.block_size, self.n_embed))
-    x = x + pos[:, :T]
+    x = jnp.concatenate([x, self.cond_in(a)], -1)
+    x = x + self.pos_emb[:, :T]
     for i in range(self.n_layer):
-      x = TransformerBlock(self.n_embed, self.n_head, self.block_size,
-                           name=f'block{i}')(x)
-    x = nn.LayerNorm(name='ln_f')(x)
-    return BinaryHead(self.z_size, name='dist_head')(x).logits
+      x = getattr(self, f'block{i}')(x)
+    x = self.ln_f(x)
+    return self.dist_head(x).logits
+
+  def empty_cache(self, B):
+    hs = self.n_embed // self.n_head
+    kv = lambda: jnp.zeros((B, self.n_head, self.block_size, hs))
+    return tuple((kv(), kv()) for _ in range(self.n_layer))
+
+  def step(self, z_prev, a_prev, i, caches):
+    """KV-cached single-position forward: logits for position i given the
+    previous token (z_prev, a_prev) each (B, feat). O(T) per step vs the
+    full forward's O(T^2) — AR sampling drops from O(T^3) to O(T^2)."""
+    x = self.embed(z_prev[:, None])
+    x = jnp.concatenate([x, self.cond_in(a_prev[:, None])], -1)
+    x = x + jax.lax.dynamic_slice_in_dim(self.pos_emb, i, 1, axis=1)
+    new = []
+    for l in range(self.n_layer):
+      x, c = getattr(self, f'block{l}')(x, cache=caches[l], index=i)
+      new.append(c)
+    x = self.ln_f(x)
+    return self.dist_head(x).logits[:, 0], tuple(new)
 
 
 class FBT(VideoModel):
@@ -99,9 +126,13 @@ class FBT(VideoModel):
     batch['proprio'] = batch['proprio'].at[:, i].set(dec['proprio'].mean)
     return batch
 
-  def sample(self, key, n, action=None, prompts=None, prompt_n=10, temp=1.0):
+  def sample(self, key, n, action=None, prompts=None, prompt_n=10, temp=1.0,
+             use_cache=True):
     """AR rollout in latent space then batch decode
-    (reference: flat_btoken.py:98-125)."""
+    (reference: flat_btoken.py:98-125). use_cache=True serves each position
+    through the KV-cached `step` (O(T^2) total); False runs the reference's
+    full-forward-per-position loop (O(T^3)) — both consume the same keys, so
+    their samples are bitwise identical."""
     T = self.block_size
     k_act, k_run = jax.random.split(key)
     if action is None:
@@ -141,7 +172,28 @@ class FBT(VideoModel):
       zc = jnp.where(is_live, new_zc, zc)
       return zc, None
 
-    z, _ = jax.lax.scan(masked_body, z, (idxs, keys, live))
+    def cached_body(carry, inp):
+      zc, caches = carry
+      i, k, is_live = inp
+      prev = jnp.maximum(i - 1, 0)
+      z_prev = jnp.where(
+          i > 0, jax.lax.dynamic_slice_in_dim(zc, prev, 1, 1)[:, 0], 0.0)
+      a_prev = jnp.where(
+          i > 0, jax.lax.dynamic_slice_in_dim(action, prev, 1, 1)[:, 0], 0.0)
+      logits, caches = self.module.apply(self.params, z_prev, a_prev, i,
+                                         caches, method='step')
+      zi = dists.Bernoulli(logits / temp).sample(k)
+      keep = jnp.arange(T)[None, :, None] == i
+      # prompt positions: the cache row is still written (from the final
+      # token at i-1 in the carry), only the sampled token is discarded
+      zc = jnp.where(is_live & keep, zi[:, None, :], zc)
+      return (zc, caches), None
+
+    if use_cache:
+      caches = self.module.empty_cache(n)
+      (z, _), _ = jax.lax.scan(cached_body, (z, caches), (idxs, keys, live))
+    else:
+      z, _ = jax.lax.scan(masked_body, z, (idxs, keys, live))
     dec = self.bvae.decode(self.bvae.params,
                            self.bvae.unflatten_z(z.reshape(n * T, -1)))
     lcd = (dec['lcd'].probs > 0.5).astype(jnp.float32)

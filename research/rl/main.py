@@ -47,6 +47,7 @@ def rl_config():
   _G.lam = 0.97
   _G.steps_per_epoch = 4000
   _G.target_kl = 0.01
+  _G.firehose = 0
   return _G
 
 
@@ -78,7 +79,8 @@ def main(argv=None):
     PPO(G).run()
   elif G.algo == 'sac':
     from research.rl.sac import SAC
-    SAC(G).run()
+    sac = SAC(G)
+    sac.run_firehose() if G.firehose else sac.run()
   else:
     raise ValueError(G.algo)
 

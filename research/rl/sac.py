@@ -114,6 +114,40 @@ class SAC(RLAlgo):
     obs = {k2: jnp.asarray(v) for k2, v in self._obs_subset(o).items()}
     return self._act(self.params, obs, k, deterministic)
 
+  def run_firehose(self):
+    """On-policy firehose variant (reference: sac.py:200-240): no replay
+    buffer — every iteration steps the big batched env with the current
+    policy and SAC-updates on that fresh transition batch directly. Suited
+    to the learned env, where thousands of envs live on device and the
+    whole act->step->update cycle never leaves the chip."""
+    G = self.G
+    o = self.env.reset()
+    t0 = time.time()
+    as_jnp = lambda o_: {k: jnp.asarray(v) for k, v in
+                         self._obs_subset(o_).items()}
+    for itr in range(1, int(G.total_steps) + 1):
+      a = self.get_a(o)
+      o2, rew, done, info = self.env.step(a)
+      batch = {'obs': as_jnp(o), 'act': jnp.asarray(a),
+               'rew': jnp.asarray(rew, jnp.float32).reshape(-1),
+               'obs2': as_jnp(o2),
+               'done': jnp.asarray(done, jnp.float32).reshape(-1)}
+      self.key, k = jax.random.split(self.key)
+      (self.params, self.target_params, self.log_alpha, self.pi_state,
+       self.q_state, self.a_state, metrics) = self._update(
+          self.params, self.target_params, self.log_alpha, self.pi_state,
+          self.q_state, self.a_state, batch, k)
+      o = o2
+      if itr % 200 == 0:  # periodic hard reset (reference: sac.py:214-215)
+        o = self.env.reset()
+      if itr % max(1, G.log_n // 10) == 0:
+        self.logger.update({k2: float(v) for k2, v in metrics.items()})
+        self.test_agent(itr)
+        if G.lenv:
+          self.test_agent(itr, use_lenv=True)
+        self.logger['fps'] = itr * G.num_envs / (time.time() - t0)
+        utils.dump_logger(self.logger, self.writer, itr, G)
+
   def run(self):
     G = self.G
     o = self.env.reset()

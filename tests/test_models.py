@@ -136,3 +136,30 @@ def test_fbt_init_grads_finite(env):
       model.params, batch, jax.random.PRNGKey(0))
   gnorm = float(optax.global_norm(grads))
   assert np.isfinite(gnorm) and gnorm < 1e3, gnorm
+
+
+def test_fbt_kv_cache_matches_full_forward(env):
+  """Teacher-forced logits from the KV-cached `step` path must match the
+  full causal forward at every position."""
+  from research.nets.autoencoders.bvae import BVAE
+  from research.nets.video_models.fbt import FBT
+  G = tiny_G(wh_ratio=env.G.wh_ratio, lcd_base=env.G.lcd_base)
+  model = FBT(env, G, bvae=BVAE(env, G))
+  T = model.block_size
+  key = jax.random.PRNGKey(4)
+  z = (jax.random.uniform(key, (2, T, model.z_size)) > 0.5).astype(jnp.float32)
+  action = jax.random.uniform(key, (2, T, model.act_n), minval=-1, maxval=1)
+  full = model.module.apply(model.params, z, action)
+
+  def body(caches, i):
+    prev = jnp.maximum(i - 1, 0)
+    z_prev = jnp.where(i > 0, z[:, prev], 0.0)
+    a_prev = jnp.where(i > 0, action[:, prev], 0.0)
+    logits, caches = model.module.apply(model.params, z_prev, a_prev, i,
+                                        caches, method='step')
+    return caches, logits
+
+  _, stepped = jax.lax.scan(body, model.module.empty_cache(2), jnp.arange(T))
+  stepped = stepped.transpose(1, 0, 2)  # (T,B,z) -> (B,T,z)
+  assert np.allclose(np.asarray(full), np.asarray(stepped), atol=1e-4), \
+      np.abs(np.asarray(full) - np.asarray(stepped)).max()
