@@ -98,8 +98,10 @@ def make_device_trainer(model, ds: DeviceDataset, bs, window, chunk):
 
 
 def train_device(model, ds, total_itr, bs, window, chunk=100, log_every=None,
-                 logger_cb=None):
-  """Drive run_chunk until total_itr; returns final metrics."""
+                 logger_cb=None, data=None):
+  """Drive run_chunk until total_itr; returns final metrics. `data` overrides
+  ds.data (e.g. a {'z', 'action'} dict of precomputed latents)."""
+  data = ds.data if data is None else data
   step = make_device_trainer(model, ds, bs, window, chunk)
   key = jax.random.PRNGKey(0)
   itr = 0
@@ -109,7 +111,7 @@ def train_device(model, ds, total_itr, bs, window, chunk=100, log_every=None,
   while itr < total_itr:
     key, k = jax.random.split(key)
     model.params, model.opt_state, metrics = step(model.params,
-                                                  model.opt_state, k, ds.data)
+                                                  model.opt_state, k, data)
     itr += chunk
     if log_every and itr % log_every < chunk:
       rate = itr / (time.time() - t0)

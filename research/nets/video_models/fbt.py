@@ -101,11 +101,29 @@ class FBT(VideoModel):
     return self.module.init(key, z, a)
 
   def loss_fn(self, params, batch, rng):
-    z = jax.lax.stop_gradient(
-        self.bvae.encode(self.bvae.params, batch, noise=False))
+    if 'z' in batch:  # precomputed frozen-BVAE latents (fast path)
+      z = batch['z']
+    else:
+      z = jax.lax.stop_gradient(
+          self.bvae.encode(self.bvae.params, batch, noise=False))
     logits = self.module.apply(params, z, batch['action'])
     loss = -dists.Bernoulli(logits).log_prob(z).mean()
     return loss, {'loss/total': loss}
+
+  def precompute_z(self, data, chunk=2000):
+    """Encode the whole device-resident dataset through the frozen BVAE once
+    (uint8 0/1), so training samples latents directly instead of re-encoding
+    bs*window frames per iteration."""
+    # threshold, don't cast: straight-through z values sit within ~1e-7 of
+    # 0/1 and a uint8 cast truncates 0.9999999 to 0
+    enc = jax.jit(lambda lcd, proprio: (self.bvae.encode(
+        self.bvae.params,
+        {'lcd': lcd.astype(jnp.float32), 'proprio': proprio},
+        noise=False) > 0.5).astype(jnp.uint8))
+    n = data['lcd'].shape[0]
+    outs = [enc(data['lcd'][i:i + chunk], data['proprio'][i:i + chunk])
+            for i in range(0, n, chunk)]
+    return jnp.concatenate(outs)
 
   # -- serving -------------------------------------------------------------------
   def latent_onestep(self, params, z, a, i, key, temp=1.0):

@@ -73,8 +73,13 @@ def main():
             hidden_size=64, nfilter=16, vqD=16, vqK=64, ep_len=50, lr=5e-4)
   env3 = env_fn(G3)()
   fbt = FBT(env3, G3)
+  # encode the dataset through the frozen BVAE once; FBT trains on latents
+  # directly instead of re-encoding bs*window frames every iteration
+  t_enc = time.time()
+  zdata = {'z': fbt.precompute_z(ds.data), 'action': ds.data['action']}
+  print(f'[e2e] latents precomputed in {time.time() - t_enc:.1f}s')
   train_device(fbt, ds, fbt_iters, bs=32, window=window, chunk=100,
-               log_every=fbt_iters // 4)
+               log_every=fbt_iters // 4, data=zdata)
   fbt.save(work / 'fbt')
   total = time.time() - t0
 

@@ -163,3 +163,19 @@ def test_fbt_kv_cache_matches_full_forward(env):
   stepped = stepped.transpose(1, 0, 2)  # (T,B,z) -> (B,T,z)
   assert np.allclose(np.asarray(full), np.asarray(stepped), atol=1e-4), \
       np.abs(np.asarray(full) - np.asarray(stepped)).max()
+
+
+def test_fbt_precomputed_z_matches_encode_path(env):
+  from research.nets.autoencoders.bvae import BVAE
+  from research.nets.video_models.fbt import FBT
+  G = tiny_G(wh_ratio=env.G.wh_ratio, lcd_base=env.G.lcd_base)
+  model = FBT(env, G, bvae=BVAE(env, G))
+  batch = fake_batch(env, G)
+  key = jax.random.PRNGKey(0)
+  l1, _ = model.loss_fn(model.params, batch, key)
+  z = model.precompute_z({'lcd': batch['lcd'].astype(jnp.uint8),
+                          'proprio': batch['proprio']}, chunk=2)
+  l2, _ = model.loss_fn(model.params,
+                        {'z': z.astype(jnp.float32),
+                         'action': batch['action']}, key)
+  assert np.allclose(float(l1), float(l2), atol=1e-5), (float(l1), float(l2))
