@@ -25,14 +25,18 @@ from boxlcd_tpu.data.dataset import BARREL_SIZE
 from boxlcd_tpu.envs.env import Env
 
 
-def make_rollout_fn(env, policy_fn=None):
+def make_rollout_fn(env, policy_fn=None, pack_lcd=False):
   """Build a jitted (key, batch) -> dict of [B, T, ...] episode arrays.
 
   policy_fn(key, obs_dict) -> action; defaults to uniform random actions
-  (the reference's collection policy, data.py:57).
+  (the reference's collection policy, data.py:57). pack_lcd packs frame bits
+  into uint8 on device (shape [..., W//8], np.unpackbits layout) — the host
+  link is the datagen bottleneck and lcd is ~90% of the payload.
   """
   T = int(env.G.ep_len)
   act_size = env.act_size
+  pack_lcd = pack_lcd and env.lcd_w % 8 == 0
+  bitw = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
 
   if policy_fn is None:
     def policy_fn(key, obs):
@@ -49,7 +53,14 @@ def make_rollout_fn(env, policy_fn=None):
       obs = Env.observe(env, state)
       act = policy_fn(k, obs)
       nstate = Env.step(env, state, act)[0]
-      return nstate, {**obs, 'action': act}
+      out = {**obs, 'action': act}
+      # binary frames travel the (slow) host link as 1 byte/px, not float32
+      lcd = out['lcd'].astype(jnp.uint8)
+      if pack_lcd:  # 1 BIT/px: 8 pixels per byte along W
+        lcd = (lcd.reshape(*lcd.shape[:-1], -1, 8).astype(jnp.int32)
+               * bitw).sum(-1).astype(jnp.uint8)
+      out['lcd'] = lcd
+      return nstate, out
 
     _, traj = jax.lax.scan(step, state, jax.random.split(k_run, T))
     return traj
@@ -72,22 +83,27 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
   """Fill `num_barrels` shards of BARREL_SIZE episodes each."""
   logdir = Path(G.logdir) / prefix
   logdir.mkdir(parents=True, exist_ok=True)
-  batch_size = batch_size or min(BARREL_SIZE, int(G.get('num_envs', 0)) or 250)
-  assert BARREL_SIZE % batch_size == 0, \
-      f'batch size {batch_size} must divide barrel size {BARREL_SIZE}'
-  fn, T = make_rollout_fn(env)
+  batch_size = batch_size or int(G.get('num_envs', 0)) or 250
+  # batches larger than one barrel amortize the per-dispatch host-link
+  # round-trip (measured ~3 s fixed cost regardless of 38 vs 112 MB payload)
+  # across several output files
+  if batch_size >= BARREL_SIZE:
+    assert batch_size % BARREL_SIZE == 0, \
+        f'batch size {batch_size} must be a multiple of {BARREL_SIZE}'
+    per_dispatch, reps = batch_size // BARREL_SIZE, 1
+  else:
+    assert BARREL_SIZE % batch_size == 0, \
+        f'batch size {batch_size} must divide barrel size {BARREL_SIZE}'
+    per_dispatch, reps = 1, BARREL_SIZE // batch_size
+  fn, T = make_rollout_fn(env, pack_lcd=True)
   jfn = jax.jit(fn, static_argnums=1)
-  reps = BARREL_SIZE // batch_size
-  for bi in range(num_barrels):
-    chunks = []
-    t0 = time.time()
-    for r in range(reps):
-      key, sub = jax.random.split(key)
-      chunks.append(jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)))
-    traj = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
-    fps = BARREL_SIZE * T / (time.time() - t0)
+
+  def write_barrel(traj, bi):
     action = traj.pop('action')
-    traj['lcd'] = traj['lcd'].astype(bool)
+    lcd = traj.pop('lcd')
+    if lcd.shape[-1] != env.lcd_w:  # device-packed bits -> full frames
+      lcd = np.unpackbits(lcd, axis=-1)
+    traj['lcd'] = lcd.astype(bool)
     timestamp = datetime.now().strftime('%Y%m%dT%H%M%S')
     if G.get('barrel_format', 'npz') == 'native':
       # bit-packed + xor-delta LCD via the C++ codec (~8x smaller payload);
@@ -95,13 +111,29 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
       # the whole datagen pipeline otherwise
       from boxlcd_tpu.data import native
       blob = native.pack_frames(traj.pop('lcd'))
-      np.savez(logdir / f'{timestamp}-{T}.tbarrel',
+      np.savez(logdir / f'{timestamp}-{bi:05d}-{T}.tbarrel',
                action=action, lcd_packed=blob['data'],
                lcd_shape=blob['shape'], **traj)
     else:
-      np.savez_compressed(logdir / f'{timestamp}-{T}.barrel',
+      np.savez_compressed(logdir / f'{timestamp}-{bi:05d}-{T}.barrel',
                           action=action, **traj)
-    print(f'[collect] {prefix} barrel {bi + 1}/{num_barrels} '
+
+  bi = 0
+  while bi < num_barrels:
+    chunks = []
+    t0 = time.time()
+    for r in range(reps):
+      key, sub = jax.random.split(key)
+      chunks.append(jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)))
+    traj = chunks[0] if reps == 1 else \
+        jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
+    n = min(per_dispatch, num_barrels - bi)
+    fps = n * BARREL_SIZE * T / (time.time() - t0)
+    for j in range(n):
+      sl = slice(j * BARREL_SIZE, (j + 1) * BARREL_SIZE)
+      write_barrel({k: v[sl] for k, v in traj.items()}, bi + j)
+    bi += n
+    print(f'[collect] {prefix} barrel {bi}/{num_barrels} '
           f'({fps:,.0f} env-steps/s)')
   return key
 

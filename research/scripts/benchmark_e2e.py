@@ -36,7 +36,8 @@ def main():
   # --- datagen --------------------------------------------------------------
   G = config()
   G.update(env='Urchin', logdir=work / 'data', ep_len=50,
-           train_barrels=n_eps // 1000, test_barrels=1, num_envs=1000,
+           train_barrels=n_eps // 1000, test_barrels=1,
+           num_envs=4000 if args.full else 1000,
            barrel_format='native')
   from boxlcd_tpu.data.collect import collect
   if (work / 'data' / 'train').is_dir() and \
