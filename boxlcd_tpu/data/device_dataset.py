@@ -21,13 +21,14 @@ class DeviceDataset:
   """All episodes on device; `sample(key, bs, window)` is pure/jittable."""
 
   def __init__(self, barrel_path, keys=('lcd', 'proprio', 'action'),
-               max_episodes=None):
+               max_episodes=None, pack_lcd=True):
     barrel_path = Path(barrel_path)
     files = sorted(barrel_path.glob('*.barrel.npz')) \
         + sorted(barrel_path.glob('*.tbarrel.npz'))
     assert files, f'no barrels at {barrel_path}'
     chunks = {k: [] for k in keys}
     total = 0
+    self.lcd_w = None
     for f in files:
       with np.load(f, allow_pickle=True) as z:
         data = {k: z[k] for k in z.keys()}
@@ -38,7 +39,13 @@ class DeviceDataset:
       for k in keys:
         arr = data[k]
         if k == 'lcd':
-          arr = arr.astype(np.uint8)  # 1 byte/px on device
+          self.lcd_w = arr.shape[-1]
+          if pack_lcd and arr.shape[-1] % 8 == 0:
+            # 1 bit/px in HBM and over the host link (8x less upload);
+            # sample() unpacks the gathered windows on device
+            arr = np.packbits(arr.astype(bool), axis=-1)
+          else:
+            arr = arr.astype(np.uint8)
         else:
           arr = arr.astype(np.float32)
         chunks[k].append(arr)
@@ -48,6 +55,14 @@ class DeviceDataset:
     self.data = {k: jnp.asarray(np.concatenate(v)) for k, v in chunks.items()}
     self.n_episodes = int(self.data[keys[0]].shape[0])
     self.ep_len = int(self.data[keys[0]].shape[1])
+
+  def unpack_lcd(self, lcd):
+    """Device-side np.unpackbits: (..., W/8) uint8 -> (..., W) float-able."""
+    if self.lcd_w is None or lcd.shape[-1] == self.lcd_w:
+      return lcd
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (lcd[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*lcd.shape[:-1], self.lcd_w)
 
   def sample(self, key, bs, window, data=None):
     """Device-side batch: dict of (bs, window, ...) float32 arrays.
@@ -61,14 +76,16 @@ class DeviceDataset:
     starts = jax.random.randint(k2, (bs,), 0, max_start + 1) \
         if max_start > 0 else jnp.zeros(bs, jnp.int32)
 
-    def gather(arr):
+    def gather(k, arr):
       def one(e, s):
         ep = arr[e]  # (T, ...)
         return jax.lax.dynamic_slice_in_dim(ep, s, window, axis=0)
       out = jax.vmap(one)(eps, starts)
+      if k == 'lcd':
+        out = self.unpack_lcd(out)
       return out.astype(jnp.float32)
 
-    return {k: gather(v) for k, v in data.items()}
+    return {k: gather(k, v) for k, v in data.items()}
 
 
 def make_device_trainer(model, ds: DeviceDataset, bs, window, chunk,

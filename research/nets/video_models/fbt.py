@@ -110,15 +110,17 @@ class FBT(VideoModel):
     loss = -dists.Bernoulli(logits).log_prob(z).mean()
     return loss, {'loss/total': loss}
 
-  def precompute_z(self, data, chunk=2000):
+  def precompute_z(self, data, chunk=2000, unpack=None):
     """Encode the whole device-resident dataset through the frozen BVAE once
     (uint8 0/1), so training samples latents directly instead of re-encoding
-    bs*window frames per iteration."""
+    bs*window frames per iteration. `unpack` maps stored lcd to full frames
+    (e.g. DeviceDataset.unpack_lcd for bit-packed storage)."""
+    unpack = unpack or (lambda x: x)
     # threshold, don't cast: straight-through z values sit within ~1e-7 of
     # 0/1 and a uint8 cast truncates 0.9999999 to 0
     enc = jax.jit(lambda lcd, proprio: (self.bvae.encode(
         self.bvae.params,
-        {'lcd': lcd.astype(jnp.float32), 'proprio': proprio},
+        {'lcd': unpack(lcd).astype(jnp.float32), 'proprio': proprio},
         noise=False) > 0.5).astype(jnp.uint8))
     n = data['lcd'].shape[0]
     outs = [enc(data['lcd'][i:i + chunk], data['proprio'][i:i + chunk])

@@ -77,7 +77,8 @@ def main():
   # encode the dataset through the frozen BVAE once; FBT trains on latents
   # directly instead of re-encoding bs*window frames every iteration
   t_enc = time.time()
-  zdata = {'z': fbt.precompute_z(ds.data), 'action': ds.data['action']}
+  zdata = {'z': fbt.precompute_z(ds.data, unpack=ds.unpack_lcd),
+           'action': ds.data['action']}
   print(f'[e2e] latents precomputed in {time.time() - t_enc:.1f}s')
   train_device(fbt, ds, fbt_iters, bs=32, window=window, chunk=100,
                log_every=fbt_iters // 4, data=zdata)

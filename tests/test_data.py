@@ -46,3 +46,23 @@ def test_native_barrel_codec():
   assert blob['data'].nbytes * 8 == frames.size
   rec = unpack_frames(blob)
   assert (rec == frames).all()
+
+
+def test_device_dataset_packed_lcd(tmp_path):
+  """Bit-packed HBM storage must sample identically to byte storage."""
+  import jax
+  from boxlcd_tpu.data.collect import fill_barrels
+  from boxlcd_tpu.data.device_dataset import DeviceDataset
+  from boxlcd_tpu.utils import AttrDict
+
+  env = boxlcd_tpu.env_map['Dropbox']()
+  G = AttrDict(logdir=tmp_path, num_envs=250, ep_len=env.G.ep_len,
+               test_barrels=0, barrel_format='native')
+  fill_barrels(env, 1, 'train', G, jax.random.PRNGKey(0))
+  packed = DeviceDataset(tmp_path / 'train', pack_lcd=True)
+  plain = DeviceDataset(tmp_path / 'train', pack_lcd=False)
+  assert packed.data['lcd'].shape[-1] * 8 == plain.data['lcd'].shape[-1]
+  bp = packed.sample(jax.random.PRNGKey(1), 4, 3)
+  bu = plain.sample(jax.random.PRNGKey(1), 4, 3)
+  for k in bp:
+    assert (np.asarray(bp[k]) == np.asarray(bu[k])).all(), k
