@@ -33,6 +33,49 @@ def convex_hull_ccw(verts: np.ndarray) -> np.ndarray:
   return hull  # CCW by construction
 
 
+def b2_set_order(verts: np.ndarray) -> np.ndarray:
+  """Convex hull in Box2D's b2PolygonShape::Set order.
+
+  Box2D gift-wraps CCW starting from the rightmost-lowest point (after
+  welding near-duplicate points), and the resulting `shape.vertices` order is
+  what the reference rasterizes (reference: boxLCD/world_env.py:501-502).
+  Matching it matters because PIL's polygon corner handling depends on the
+  edge traversal order.
+  """
+  pts = np.asarray(verts, dtype=np.float64)
+  weld2 = (0.5 * 0.005) ** 2  # (0.5 * b2_linearSlop)^2
+  uniq = []
+  for p in pts:
+    if all(((p - u) ** 2).sum() > weld2 for u in uniq):
+      uniq.append(p)
+  pts = np.array(uniq)
+  n = len(pts)
+  assert n >= 3, 'polygon needs >= 3 distinct vertices'
+  i0 = 0
+  for i in range(1, n):
+    if (pts[i, 0] > pts[i0, 0]
+        or (pts[i, 0] == pts[i0, 0] and pts[i, 1] < pts[i0, 1])):
+      i0 = i
+  hull = []
+  ih = i0
+  while True:
+    hull.append(ih)
+    ie = 0
+    for j in range(1, n):
+      if ie == ih:
+        ie = j
+        continue
+      r = pts[ie] - pts[ih]
+      v = pts[j] - pts[ih]
+      c = float(r[0] * v[1] - r[1] * v[0])
+      if c < 0.0 or (c == 0.0 and v @ v > r @ r):
+        ie = j
+    ih = ie
+    if ie == i0:
+      break
+  return pts[hull]
+
+
 def poly_normals(verts: np.ndarray) -> np.ndarray:
   """Outward edge normals of a CCW polygon; normal[i] is for edge verts[i]->verts[i+1]."""
   nxt = np.roll(verts, -1, axis=0)

@@ -52,6 +52,7 @@ class WorldSpec:
   verts: np.ndarray                 # (N, MAX_VERTS, 2) polygon-variant vertices (CCW)
   nverts: np.ndarray                # (N,)
   normals: np.ndarray               # (N, MAX_VERTS, 2) outward edge normals
+  draw_verts: np.ndarray            # (N, MAX_VERTS, 2) verts in b2 draw order
   inv_m: np.ndarray                 # (N, 2) inverse mass [circle-variant, poly-variant]
   inv_i: np.ndarray                 # (N, 2) inverse rotational inertia per variant
   local_center: np.ndarray          # (N, 2, 2) local center of mass per variant
@@ -125,24 +126,36 @@ class WorldSpec:
 
 
 def _shape_tables(shape: ShapeSpec, kind_flag: int, size: float):
-  """Return (radius, verts, nverts, normals) covering both shape variants."""
+  """Return (radius, verts, nverts, normals, draw_verts) for both variants.
+
+  `draw_verts` carries the vertex order pybox2d's `shape.vertices` reports —
+  SetAsBox order for box= fixtures, b2PolygonShape::Set gift-wrap order for
+  explicit vertex lists — which the exact rasterizer must traverse
+  (reference draws `trans * v for v in shape.vertices`, world_env.py:501-505).
+  """
   if kind_flag == RANDOM:
     # union: circle of `size` OR box of half-extent `size`
-    # (reference: boxLCD/world_env.py:273-274)
+    # (reference: boxLCD/world_env.py:273-274); box variant is a box= fixture
     radius = size
-    hull = geom.convex_hull_ccw(np.array(
-        [(-size, -size), (size, -size), (size, size), (-size, size)]))
+    draw = np.array(
+        [(-size, -size), (size, -size), (size, size), (-size, size)])
+    hull = geom.convex_hull_ccw(draw)
   elif shape.kind == 'circle':
     radius = shape.radius
     r = shape.radius
-    hull = geom.convex_hull_ccw(np.array([(-r, -r), (r, -r), (r, r), (-r, r)]))
+    draw = np.array([(-r, -r), (r, -r), (r, r), (-r, r)])
+    hull = geom.convex_hull_ccw(draw)
   else:
     radius = max(abs(np.asarray(shape.verts)).max(), 1e-3)
+    draw = (np.asarray(shape.verts, dtype=np.float64) if shape.box
+            else geom.b2_set_order(np.array(shape.verts)))
     hull = geom.convex_hull_ccw(np.array(shape.verts))
   verts, nv = geom.pad_verts(hull)
+  draw_verts, dnv = geom.pad_verts(draw)
+  assert dnv == nv, f'draw/hull vertex count mismatch: {dnv} vs {nv}'
   normals = np.zeros_like(verts)
   normals[:nv] = geom.poly_normals(hull)
-  return radius, verts, nv, normals
+  return radius, verts, nv, normals, draw_verts
 
 
 def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
@@ -164,6 +177,7 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
   # ---- bodies -------------------------------------------------------------
   names: List[str] = []
   shape_static, radius, verts, nverts, normals = [], [], [], [], []
+  draw_verts = []
   inv_m, inv_i, local_center = [], [], []
   friction, restitution, lin_damp, ang_damp = [], [], [], []
   category, mask = [], []
@@ -174,7 +188,7 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
   def add_body(name, shape, kind_flag, size, density, fric, rest, cat, msk,
                ldamp, adamp, b_role, b_root, b_parent,
                rangex=0.0, ry_lo=0.0, ry_hi=0.0, rand_ang=False):
-    rad, vv, nv, nn = _shape_tables(shape, kind_flag, size)
+    rad, vv, nv, nn, dv = _shape_tables(shape, kind_flag, size)
     mc, ic, cc = geom.circle_mass(rad, density)
     mp, ip, cp = geom.poly_mass(vv[:nv], density)
     # Box2D clamps zero-mass dynamic bodies to mass 1 (b2Body::ResetMassData)
@@ -184,6 +198,7 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
     verts.append(vv)
     nverts.append(nv)
     normals.append(nn)
+    draw_verts.append(dv)
     inv_m.append([1.0 / mc, 1.0 / mp])
     inv_i.append([1.0 / ic if ic > 0 else 0.0, 1.0 / ip if ip > 0 else 0.0])
     local_center.append([cc, cp])
@@ -241,7 +256,7 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
     shape = (ShapeSpec('circle', radius=obj.size) if obj.shape == 'circle'
              else ShapeSpec('polygon', verts=(
                  (-obj.size, -obj.size), (obj.size, -obj.size),
-                 (obj.size, obj.size), (-obj.size, obj.size))))
+                 (obj.size, obj.size), (-obj.size, obj.size)), box=True))
     rngx = 1 - (2 * obj.size / width)
     rngy = 1 - (2 * obj.size / height)
     # objects spawn lower when robots present (reference: world_env.py:282-285)
@@ -390,6 +405,7 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
       n=n, names=tuple(names),
       shape_static=_i(shape_static), radius=_f(radius),
       verts=_f(verts), nverts=_i(nverts), normals=_f(normals),
+      draw_verts=_f(draw_verts),
       inv_m=_f(inv_m), inv_i=_f(inv_i), local_center=_f(local_center),
       friction=_f(friction), restitution=_f(restitution),
       lin_damp=_f(lin_damp), ang_damp=_f(ang_damp),

@@ -1,9 +1,22 @@
-"""On-device binarized LCD rasterizer.
+"""On-device binarized LCD rasterizer, pixel-exact vs the reference's PIL path.
 
-Replaces the reference's PIL ImageDraw rasterization
-(reference: boxLCD/world_env.py:460-512) with a pixel-center coverage test
-evaluated for every (pixel, body) pair on the VPU — trivially `vmap`-able
-over worlds, no host round-trip.
+The reference renders by PIL ImageDraw (reference: boxLCD/world_env.py:460-512):
+polygons via `draw.polygon(trans * verts, fill=0)`, circles via
+`draw.ellipse(bbox, fill=0)`, background 1, then a vertical flip. This module
+reproduces that output bit-for-bit on device:
+
+  * Polygons: Pillow truncates vertices to ints (C `(int)` cast in
+    `_imaging.c:draw_polygon`) and scanline-fills with `polygon_generic`
+    (libImaging/Draw.c). The full algorithm — per-row edge intersections in
+    float32, endpoint doubling, the corner-connection fix-up, qsort + pair
+    fill with floor(x+0.5)/round-half-toward-zero span ends, plus direct
+    hlines for horizontal edges — is replicated here in fixed-shape JAX,
+    validated against Pillow 12.1 disassembly and fuzzed to 100% agreement
+    (tests/test_raster.py).
+  * Circles: Pillow truncates the ellipse bbox to ints, after which the
+    rasterized mask depends only on the integer bbox size (translation
+    invariant, verified). Masks for every reachable (iW, iH) are tabulated
+    host-side with real PIL at spec-compile time and gathered on device.
 
 Conventions matched to the reference:
   - world-to-pixel scale uses the world WIDTH for both axes
@@ -11,39 +24,279 @@ Conventions matched to the reference:
   - the image is y-flipped (world_env.py:506), so row 0 is the top
   - output is bool with background=True and bodies=False
     (world_env.py:471-477: background fill 1, shapes fill 0)
-
-PIL's exact scanline rules differ sub-pixel from center sampling (~96%
-pixel agreement at 16x16 on random scenes, measured); the framework is
-self-consistent end-to-end since data, training, and serving all use this
-rasterizer.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 from boxlcd_tpu.engine import collision
-from boxlcd_tpu.engine.spec import WorldSpec
+from boxlcd_tpu.engine.spec import WorldSpec, CIRCLE, POLY
+
+_INF = jnp.float32(np.inf)
 
 
-def _pixel_centers(spec: WorldSpec, width: int, height: int):
-  """World-space coordinates of final-image pixel centers, (H, W, 2)."""
-  s = width / spec.width
-  j = jnp.arange(width, dtype=jnp.float32)
-  i = jnp.arange(height, dtype=jnp.float32)
-  wx = (j + 0.5) / s
-  wy = (height - i - 0.5) / s
-  return jnp.stack(jnp.meshgrid(wx, wy, indexing='xy'), axis=-1)  # (H, W, 2)
+def _f32(t):
+  """Force `t` to materialize as a rounded float32 value.
 
+  Pillow's C compiles to separate mulss/addss; XLA (even across
+  optimization_barrier, via LLVM fp-contract) would otherwise fuse a
+  multiply into a following add as an FMA — a single rounding — and flip
+  pixels at span boundaries. The no-op select blocks the contraction.
+  """
+  return jnp.where(jnp.isnan(t), jnp.float32(0), t)
+
+
+def _muladd(a, b, c):
+  """a*b + c with the product rounded to float32 before the add."""
+  return _f32(a * b) + c
+
+
+# -- host-side ellipse mask tables ---------------------------------------------
+
+_TABLE_CACHE = {}
+
+
+def _ellipse_mask_table(dmax: int) -> np.ndarray:
+  """(dmax+1, dmax+1, dmax+2, dmax+2) bool: PIL ellipse masks per int bbox.
+
+  Entry [iH, iW] is the pixel mask of `draw.ellipse([x0, y0, x0+iW, y0+iH],
+  fill=...)` relative to (x0, y0); integer-translation invariance verified
+  empirically. Falls back to a pixel-center disc test if PIL is unavailable
+  (approximate; PIL is a host-side build dependency only).
+  """
+  D = dmax
+  out = np.zeros((D + 1, D + 1, D + 2, D + 2), bool)
+  try:
+    from PIL import Image, ImageDraw
+  except ImportError:
+    yy, xx = np.mgrid[0:D + 2, 0:D + 2]
+    for ih in range(D + 1):
+      for iw in range(D + 1):
+        cx, cy, a, b = iw / 2, ih / 2, max(iw / 2, .5), max(ih / 2, .5)
+        out[ih, iw] = (((xx - cx) / a) ** 2 + ((yy - cy) / b) ** 2) <= 1.0
+    return out
+  pad = 3
+  for ih in range(D + 1):
+    for iw in range(D + 1):
+      size = (iw + 2 * pad + 2, ih + 2 * pad + 2)
+      im = Image.new('1', size)
+      dr = ImageDraw.Draw(im)
+      dr.rectangle([0, 0, size[0], size[1]], fill=1)
+      dr.ellipse([pad, pad, pad + iw, pad + ih], fill=0, outline=None)
+      arr = ~np.asarray(im).astype(np.float32).astype(bool)
+      assert not arr[:pad].any() and not arr[pad + ih + 2:].any() \
+          and not arr[:, :pad].any() and not arr[:, pad + iw + 2:].any(), \
+          'PIL ellipse painted outside its bbox'
+      out[ih, iw, :ih + 2, :iw + 2] = arr[pad:pad + ih + 2, pad:pad + iw + 2]
+  return out
+
+
+def _tables(spec: WorldSpec, width: int, height: int):
+  key = (id(spec), width, height)
+  if key not in _TABLE_CACHE:
+    s = width / spec.width
+    dmax = int(np.floor(2.0 * float(spec.radius.max()) * s)) + 1
+    _TABLE_CACHE[key] = _ellipse_mask_table(dmax)
+  return _TABLE_CACHE[key]
+
+
+# -- float32 helpers matching Pillow's C arithmetic ------------------------------
+
+def _roundf(x):
+  """C roundf: round half away from zero (float32)."""
+  a = jnp.abs(x)
+  fl = jnp.floor(a)
+  r = fl + (a - fl >= 0.5)
+  return jnp.where(x < 0, -r, r)
+
+
+def _x_start(f):
+  """Span-start rounding from polygon_generic's hline call (disassembly)."""
+  return jnp.where(f >= 0, jnp.floor(f + 0.5), -jnp.floor(-f + 0.5))
+
+
+def _x_end(f):
+  """Span-end rounding: round half toward zero."""
+  return jnp.where(f >= 0, jnp.ceil(f - 0.5), -jnp.ceil(-f - 0.5))
+
+
+# -- exact polygon scanline fill (one body, PIL pixel frame) ---------------------
+
+def _poly_cover(ivx, ivy, nv: int, height: int, width: int):
+  """(H, W) bool coverage of the integer-vertex polygon, PIL rules.
+
+  ivx/ivy: (nv,) traced int32 vertex coords (already truncated). nv static.
+  Mirrors libImaging/Draw.c polygon_generic + the horizontal-edge hlines of
+  ImagingDrawPolygon.
+  """
+  rows = jnp.arange(height, dtype=jnp.int32)            # (H,)
+  cols = jnp.arange(width, dtype=jnp.float32)           # (W,)
+  S = 2 * nv + 2
+  iota = jnp.arange(S, dtype=jnp.int32)
+
+  gymax = jnp.minimum(jnp.max(ivy), height)
+
+  # static-unrolled edge table (non-horizontal edges keep polygon order)
+  ex0, ey0, eymin, eymax, edx, ehoriz = [], [], [], [], [], []
+  for i in range(nv):
+    x0, y0 = ivx[i], ivy[i]
+    x1, y1 = ivx[(i + 1) % nv], ivy[(i + 1) % nv]
+    ymin = jnp.minimum(y0, y1)
+    ymax = jnp.maximum(y0, y1)
+    horiz = y0 == y1
+    dx = jnp.where(horiz, 0.0,
+                   (x1 - x0).astype(jnp.float32)
+                   / jnp.where(horiz, 1, y1 - y0).astype(jnp.float32))
+    x_at_ymin = jnp.where(y0 <= y1, x0, x1).astype(jnp.float32)
+    ex0.append(x_at_ymin)
+    ey0.append(ymin.astype(jnp.float32))
+    eymin.append(ymin)
+    eymax.append(ymax)
+    edx.append(dx)
+    ehoriz.append(horiz)
+
+  def edge_x(k, y):
+    return _muladd((y - eymin[k]).astype(jnp.float32), edx[k], ex0[k])
+
+  xx = jnp.full((height, S), _INF)
+  j = jnp.zeros(height, jnp.int32)
+  for i in range(nv):
+    inr = (~ehoriz[i]) & (rows >= eymin[i]) & (rows <= eymax[i])   # (H,)
+    cur_x = edge_x(i, rows)                                         # (H,)
+    xx = jnp.where(inr[:, None] & (iota[None] == j[:, None]),
+                   cur_x[:, None], xx)
+    at_ymax = inr & (rows == eymax[i])
+    at_ymin = inr & (rows == eymin[i])
+    dbl = at_ymax & (rows < gymax)
+    j1 = j + inr
+    xx = jnp.where(dbl[:, None] & (iota[None] == j1[:, None]),
+                   cur_x[:, None], xx)
+    # corner-connection fix-up (Draw.c: only at an endpoint row; at ymax only
+    # on the clipped bottom row, where the doubling branch doesn't run)
+    if i > 0:
+      elig = (edx[i] != 0) & (at_ymin | (at_ymax & (rows >= gymax)))
+      offset = jnp.where(at_ymax, -1, 1)
+      adj_y = rows + offset
+      adj = edge_x(i, adj_y)
+      cur_r = _roundf(cur_x)
+      found = jnp.zeros(height, bool)
+      adj_o = jnp.zeros(height, jnp.float32)
+      for k in range(i):
+        ok = ((~ehoriz[k])
+              & ((rows == eymin[k]) | (rows == eymax[k]))
+              & (cur_r == _roundf(edge_x(k, rows)))
+              & (adj_y >= eymin[k]) & (adj_y <= eymax[k]))
+        take = ok & ~found
+        adj_o = jnp.where(take, edge_x(k, adj_y), adj_o)
+        found = found | ok
+      hi = (cur_x > adj + 1) & (cur_x > adj_o + 1)
+      lo = (cur_x < adj - 1) & (cur_x < adj_o - 1)
+      fixv = jnp.where(hi, _roundf(jnp.maximum(adj, adj_o)) + 1,
+                       _roundf(jnp.minimum(adj, adj_o)) - 1)
+      apply = elig & found & (hi | lo)
+      xx = jnp.where(apply[:, None] & (iota[None] == j[:, None]),
+                     fixv[:, None], xx)
+    j = j1 + dbl
+
+  xs = jnp.sort(jnp.where(iota[None] < j[:, None], xx, _INF), axis=-1)
+  cov = jnp.zeros((height, width), bool)
+  for p in range(S // 2):
+    valid = j >= 2 * p + 2                                          # (H,)
+    a = _x_start(xs[:, 2 * p])
+    b = _x_end(xs[:, 2 * p + 1])
+    cov = cov | (valid[:, None] & (cols[None] >= a[:, None])
+                 & (cols[None] <= b[:, None]))
+  # horizontal edges are hlined directly (ImagingDrawPolygon first loop)
+  for i in range(nv):
+    xmin = jnp.minimum(ivx[i], ivx[(i + 1) % nv]).astype(jnp.float32)
+    xmax = jnp.maximum(ivx[i], ivx[(i + 1) % nv]).astype(jnp.float32)
+    hit = ehoriz[i] & (rows == ivy[i])
+    cov = cov | (hit[:, None] & (cols[None] >= xmin) & (cols[None] <= xmax))
+  return cov
+
+
+# -- per-body coverage -----------------------------------------------------------
+
+def _circle_cover(tbl, cx, cy, r, s, height: int, width: int):
+  """(H, W) bool: PIL ellipse coverage for one circle (PIL pixel frame)."""
+  dmax = tbl.shape[0] - 1
+  x0 = (cx - r) * s
+  y0 = (cy - r) * s
+  x1 = (cx + r) * s
+  y1 = (cy + r) * s
+  ix0 = jnp.trunc(x0).astype(jnp.int32)
+  iy0 = jnp.trunc(y0).astype(jnp.int32)
+  iw = jnp.clip(jnp.trunc(x1).astype(jnp.int32) - ix0, 0, dmax)
+  ih = jnp.clip(jnp.trunc(y1).astype(jnp.int32) - iy0, 0, dmax)
+  di = jnp.arange(height, dtype=jnp.int32) - iy0                    # (H,)
+  dj = jnp.arange(width, dtype=jnp.int32) - ix0                     # (W,)
+  ok = ((di >= 0) & (di <= ih))[:, None] & ((dj >= 0) & (dj <= iw))[None]
+  dic = jnp.clip(di, 0, dmax + 1)
+  djc = jnp.clip(dj, 0, dmax + 1)
+  return ok & tbl[ih, iw][dic[:, None], djc[None]]
+
+
+def exact_cover(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
+  """(H, W, N) bool per-body coverage in the FINAL (y-flipped) frame."""
+  tbl = jnp.asarray(_tables(spec, width, height))
+  s = jnp.float32(width / spec.width)
+  cosa = jnp.cos(angle).astype(jnp.float32)                         # (N,)
+  sina = jnp.sin(angle).astype(jnp.float32)
+  covs = []
+  for b in range(spec.n):
+    kind = int(spec.shape_static[b])
+    circ = None
+    poly = None
+    if kind != POLY:
+      circ = _circle_cover(tbl, c[b, 0], c[b, 1],
+                           jnp.float32(spec.radius[b]), s, height, width)
+    if kind != CIRCLE:
+      nv = int(spec.nverts[b])
+      dv = jnp.asarray(spec.draw_verts[b, :nv], jnp.float32)        # (nv, 2)
+      lc = jnp.asarray(spec.local_center[b, 1], jnp.float32)        # (2,)
+      # b2Mul op order: w = (cos*vx - sin*vy) + origin, each product rounded
+      ox = c[b, 0] - _muladd(cosa[b], lc[0], -_f32(sina[b] * lc[1]))
+      oy = c[b, 1] - _muladd(sina[b], lc[0], _f32(cosa[b] * lc[1]))
+      wx = _f32(_muladd(cosa[b], dv[:, 0], -_f32(sina[b] * dv[:, 1]))) + ox
+      wy = _f32(_muladd(sina[b], dv[:, 0], _f32(cosa[b] * dv[:, 1]))) + oy
+      ivx = jnp.trunc(wx * s).astype(jnp.int32)
+      ivy = jnp.trunc(wy * s).astype(jnp.int32)
+      poly = _poly_cover(ivx, ivy, nv, height, width)
+    if circ is None:
+      cov = poly
+    elif poly is None:
+      cov = circ
+    else:
+      cov = jnp.where(is_circle[b], circ, poly)
+    covs.append(cov)
+  cov = jnp.stack(covs, axis=-1)                                    # (H, W, N)
+  return cov[::-1]  # PIL FLIP_TOP_BOTTOM (world_env.py:506)
+
+
+def lcd_render(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
+  """Binarized frame, (H, W) bool, background True (one world; vmap outside).
+
+  Bitwise-equal to the reference `WorldEnv.lcd_render(mode='1')` given the
+  same body poses (reference: boxLCD/world_env.py:460-512).
+  """
+  return ~exact_cover(spec, is_circle, c, angle, width, height).any(-1)
+
+
+# -- approximate RGB render (human viz only) -------------------------------------
 
 def coverage(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
-  """(H, W, N) bool: which bodies cover each pixel center (one world)."""
+  """(H, W, N) bool pixel-center coverage (approximate; viz only)."""
   geom = collision.make_geom(spec, is_circle, c, angle)
-  pix = _pixel_centers(spec, width, height).reshape(-1, 2)      # (HW, 2)
-  # circles: distance to center (= com for circle shapes)
+  sc = width / spec.width
+  jj = jnp.arange(width, dtype=jnp.float32)
+  ii = jnp.arange(height, dtype=jnp.float32)
+  wx = (jj + 0.5) / sc
+  wy = (height - ii - 0.5) / sc
+  pix = jnp.stack(jnp.meshgrid(wx, wy, indexing='xy'), axis=-1).reshape(-1, 2)
   d2 = ((pix[:, None, :] - geom.c[None, :, :]) ** 2).sum(-1)    # (HW, N)
   cov_circle = d2 <= (geom.radius[None, :] ** 2)
-  # convex polygons: inside all valid edges (verts CCW, outward normals)
-  # edge test: dot(normal_k, p - v_k) <= 0
   rel = pix[:, None, None, :] - geom.wverts[None, :, :, :]      # (HW, N, V, 2)
   side = (rel * geom.wnormals[None]).sum(-1)                    # (HW, N, V)
   side = jnp.where(geom.vmask[None], side, -jnp.inf)
@@ -52,29 +305,25 @@ def coverage(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
   return cov.reshape(height, width, -1)
 
 
-def lcd_render(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
-  """Binarized frame, (H, W) bool, background True (one world; vmap outside)."""
-  cov = coverage(spec, is_circle, c, angle, width, height)
-  return ~cov.any(-1)
-
-
 def rgb_render(spec: WorldSpec, is_circle, c, angle, width: int, height: int,
                robot_mask=None):
   """Simple RGB frame (H, W, 3) uint8 using the reference body palette.
 
   Robots render reddish (0.9, 0.4, 0.4), objects bluish (0.5, 0.4, 0.9)
   (reference: boxLCD/world_env.py:201,303), on white background, matching
-  the color-inversion at world_env.py:510-511.
+  the color-inversion at world_env.py:510-511. Painter's order: later bodies
+  draw over earlier ones, like PIL's sequential draws.
   """
-  cov = coverage(spec, is_circle, c, angle, width, height)     # (H, W, N)
+  cov = exact_cover(spec, is_circle, c, angle, width, height)   # (H, W, N)
   if robot_mask is None:
     robot_mask = jnp.asarray(spec.role != 2)
   robot_col = jnp.array([0.9, 0.4, 0.4])
   obj_col = jnp.array([0.5, 0.4, 0.9])
   body_col = jnp.where(robot_mask[:, None], robot_col[None], obj_col[None])
   any_cov = cov.any(-1, keepdims=True)
-  # first covering body wins (approximates PIL draw order)
-  first = jnp.argmax(cov, axis=-1)
-  col = body_col[first]
+  # last covering body wins (PIL painter's order over dynbodies)
+  n = cov.shape[-1]
+  last = n - 1 - jnp.argmax(cov[..., ::-1], axis=-1)
+  col = body_col[last]
   img = jnp.where(any_cov, col, jnp.ones(3))
   return (img * 255).astype(jnp.uint8)

@@ -23,6 +23,7 @@ class ShapeSpec(NamedTuple):
   kind: str                     # 'circle' | 'polygon'
   radius: float = 0.0           # circle radius
   verts: Tuple = ()             # polygon vertices (local coords, any order)
+  box: bool = False             # True when built via box= (SetAsBox vert order)
 
 
 def circle(radius: float) -> ShapeSpec:
@@ -34,8 +35,13 @@ def poly(verts) -> ShapeSpec:
 
 
 def box(hw: float, hh: float) -> ShapeSpec:
-  """Axis-aligned box from half-extents (matches Box2D polygonShape(box=...))."""
-  return poly([(-hw, -hh), (hw, -hh), (hw, hh), (-hw, hh)])
+  """Axis-aligned box from half-extents (matches Box2D polygonShape(box=...)).
+
+  Keeps b2PolygonShape::SetAsBox vertex order (BL, BR, TR, TL) — the order
+  `shape.vertices` reports, which the reference's rasterizer traverses.
+  """
+  return ShapeSpec('polygon', verts=(
+      (-hw, -hh), (hw, -hh), (hw, hh), (-hw, hh)), box=True)
 
 
 # -- world-def structs --------------------------------------------------------
