@@ -1,14 +1,27 @@
 """Headline benchmark: batched env steps/sec on TPU (Urchin @ 4096 worlds).
 
-Runs the data-collection hot path — physics step + LCD render + obs packing —
-as one jitted scan over time, vmapped over worlds, on the real chip. Prints
-ONE JSON line. Baseline: the reference collects ~1.7k env-steps/s/core on CPU
-(BASELINE.md: 10k Bounce rollouts in ~5 min, single process).
+Runs the data-collection hot path — physics step + LCD render + FULL obs
+packing (lcd, full_state, proprio all consumed so nothing is DCE'd) — as one
+jitted scan over time, vmapped over worlds, on the real chip. Prints ONE JSON
+line for the headline config (Urchin, vel/pos iters 8/4, Pallas solver when
+on TPU). Baseline: the reference collects ~1.7k env-steps/s/core on CPU
+(BASELINE.md: 10k Bounce rollouts in ~5 min, single process; it runs Box2D at
+180/60 iterations, world_env.py:446-452).
+
+Env vars:
+  BENCH_WORLDS / BENCH_STEPS   batch size / scan length
+  BENCH_ENV                    env name (default Urchin)
+  BENCH_ITERS=ref              run at the reference's 180/60 solver iterations
+  BENCH_PALLAS=0               force the pure-XLA solver
+  BENCH_MATRIX=1               measure the full {iters}x{solver}x{env} matrix
+                               into BENCH_MATRIX.json (headline still the one
+                               stdout JSON line)
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 # the real TPU (ambient JAX_PLATFORMS=axon); fall back to cpu if unavailable
@@ -24,20 +37,17 @@ from boxlcd_tpu.envs.env import Env
 REFERENCE_STEPS_PER_SEC = 1700.0  # examples/README.md:33 (CPU, single proc)
 
 
-def main():
-  B = int(os.environ.get('BENCH_WORLDS', 4096))
-  T = int(os.environ.get('BENCH_STEPS', 50))
-  # the fused Pallas solver is the default on TPU (+18% over the XLA scan
-  # path, 454M vs 384M steps/s measured); BENCH_PALLAS=0 forces the jnp path
-  use_pallas = bool(int(os.environ.get('BENCH_PALLAS', 1)))
-  env = boxlcd_tpu.env_map['Urchin']()
+def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
+  """steps/s for one config; returns (steps_per_sec, solver_used)."""
+  env = boxlcd_tpu.env_map[env_name](
+      {'vel_iters': vel_iters, 'pos_iters': pos_iters})
   solver = None
   if use_pallas and jax.default_backend() != 'cpu':
     from boxlcd_tpu.engine.pallas_solver import make_batched_solver
     solver = make_batched_solver(env.spec)
 
   def one_chunk(states, key):
-    """T env steps incl. observation (lcd render) per step."""
+    """T env steps incl. observation (lcd render + obs packing) per step."""
     from boxlcd_tpu.engine import physics
 
     def step(carry, k):
@@ -45,8 +55,11 @@ def main():
       acts = jax.random.uniform(k, (B, env.act_size), minval=-1, maxval=1)
       states = physics.step_world_batch(env.spec, states, acts,
                                         velocity_solver=solver)
-      lcds = jax.vmap(lambda s: Env.observe(env, s)['lcd'])(states)
-      return states, lcds.sum()  # consume obs so rendering isn't DCE'd
+      obs = jax.vmap(lambda s: Env.observe(env, s))(states)
+      # consume EVERY obs component so none of the packing is DCE'd
+      consumed = (obs['lcd'].sum() + obs['full_state'].sum()
+                  + obs['proprio'].sum())
+      return states, consumed
     keys = jax.random.split(key, T)
     states, sums = jax.lax.scan(step, states, keys)
     return states, sums.sum()
@@ -62,22 +75,48 @@ def main():
   except Exception as e:
     if solver is None:
       raise
-    print(f'pallas solver failed ({type(e).__name__}); jnp fallback')
+    print(f'pallas solver failed ({type(e).__name__}); jnp fallback',
+          file=sys.stderr)
     solver = None
     jchunk = jax.jit(one_chunk)
     states, s = jchunk(states, jax.random.PRNGKey(1))
     jax.block_until_ready(s)
 
   t0 = time.time()
-  iters = 3
   for i in range(iters):
     states, s = jchunk(states, jax.random.PRNGKey(2 + i))
   jax.block_until_ready(s)
   dt = time.time() - t0
-  steps_per_sec = B * T * iters / dt
+  return B * T * iters / dt, ('pallas' if solver is not None else 'jnp')
 
+
+def main():
+  B = int(os.environ.get('BENCH_WORLDS', 4096))
+  T = int(os.environ.get('BENCH_STEPS', 50))
+  env_name = os.environ.get('BENCH_ENV', 'Urchin')
+  ref_iters = os.environ.get('BENCH_ITERS', '') == 'ref'
+  vel, pos = (180, 60) if ref_iters else (8, 4)
+  use_pallas = bool(int(os.environ.get('BENCH_PALLAS', 1)))
+
+  if int(os.environ.get('BENCH_MATRIX', 0)):
+    rows = []
+    for ename in ('Urchin', 'LuxoCube', 'Object3'):
+      for vi, pi in ((8, 4), (180, 60)):
+        for pal in (True, False):
+          if pal and jax.default_backend() == 'cpu':
+            continue
+          sps, solver_used = measure(ename, vi, pi, pal, B, T)
+          rows.append({'env': ename, 'vel_iters': vi, 'pos_iters': pi,
+                       'solver': solver_used, 'worlds': B,
+                       'steps_per_sec': round(sps, 1)})
+          print(rows[-1], file=sys.stderr)
+    with open('BENCH_MATRIX.json', 'w') as f:
+      json.dump(rows, f, indent=1)
+
+  steps_per_sec, solver_used = measure(env_name, vel, pos, use_pallas, B, T)
+  suffix = '_ref_iters' if ref_iters else ''
   print(json.dumps({
-      'metric': 'env_steps_per_sec_urchin_4096',
+      'metric': f'env_steps_per_sec_{env_name.lower()}_{B}{suffix}',
       'value': round(steps_per_sec, 1),
       'unit': 'env-steps/s',
       'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),

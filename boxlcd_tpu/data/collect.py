@@ -65,10 +65,13 @@ def make_rollout_fn(env, policy_fn=None, pack_lcd=False):
     _, traj = jax.lax.scan(step, state, jax.random.split(k_run, T))
     return traj
 
-  def batch_rollout(key, batch_size):
-    keys = jax.random.split(key, batch_size)
+  def rollout_keys(keys):
     return jax.vmap(one_episode)(keys)
 
+  def batch_rollout(key, batch_size):
+    return rollout_keys(jax.random.split(key, batch_size))
+
+  batch_rollout.keys_fn = rollout_keys  # pre-split-keys form (for sharding)
   return batch_rollout, T
 
 
@@ -96,7 +99,25 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
         f'batch size {batch_size} must divide barrel size {BARREL_SIZE}'
     per_dispatch, reps = 1, BARREL_SIZE // batch_size
   fn, T = make_rollout_fn(env, pack_lcd=True)
-  jfn = jax.jit(fn, static_argnums=1)
+  mesh_spec = str(G.get('mesh', '') or '')
+  if mesh_spec:
+    # shard the worlds axis over the device mesh: each chip rolls out its
+    # slice of the env batch; the rollout itself needs no cross-chip comms
+    assert mesh_spec.startswith('dp'), f'unsupported mesh {mesh_spec!r}'
+    ndev = int(mesh_spec[2:])
+    assert batch_size % ndev == 0, \
+        f'collect batch {batch_size} must divide over {ndev} devices'
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev, 1),
+                ('dp', 'tp'))
+    bshard = NamedSharding(mesh, P('dp'))
+    jkeys = jax.jit(fn.keys_fn, in_shardings=(bshard,), out_shardings=bshard)
+
+    def jfn(key, bs):
+      keys = jax.device_put(jax.random.split(key, bs), bshard)
+      return jkeys(keys)
+  else:
+    jfn = jax.jit(fn, static_argnums=1)
 
   def write_barrel(traj, bi):
     action = traj.pop('action')

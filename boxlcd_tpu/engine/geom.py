@@ -100,7 +100,7 @@ def poly_mass(verts: np.ndarray, density: float):
   for i in range(n):
     e1 = verts[i] - s
     e2 = verts[(i + 1) % n] - s
-    d = float(np.cross(e1, e2))
+    d = float(e1[0] * e2[1] - e1[1] * e2[0])
     tri_area = 0.5 * d
     area += tri_area
     center += tri_area * k_inv3 * (e1 + e2)

@@ -42,6 +42,9 @@ def config():
   G.model = 'BVAE'
   G.datamode = 'video'
   G.ipython_mode = 0
+  G.optimize_actions = 0  # viz mode: plan actions by grad through the model
+  G.eval_n = 2048         # samples pooled per Evaler rep for FVD/P-R
+  G.mesh = ''             # e.g. 'dp8': data-parallel train/collect sharding
 
   G.amp = 0
   G.total_itr = int(1e9)
@@ -93,7 +96,7 @@ def config():
 
   G.env = 'Dropbox'
   G.goals = 0
-  G.preproc = 0
+  G.preproc = ''  # weightdir of a frozen AE -> zstate obs (PreprocVecEnv)
   G.state_rew = 1
   G.rew_scale = 1.0
   G.free_nats = 3.0

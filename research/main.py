@@ -58,6 +58,19 @@ def parse_flags(argv=None):
 def main(argv=None):
   G, env = parse_flags(argv)
   print(f'mode={G.mode} env={G.env} model={G.model}')
+  if G.get('ipython_mode', 0):
+    # drop into a REPL with env/G (and model if weights given) in scope
+    # (reference: research/main.py:77-83)
+    model = None
+    if G.get('weightdir') and str(G.weightdir) not in ('', '.'):
+      from research.nets import net_map
+      from research.nets._base import Net
+      mG = Net.load_config(G.weightdir, G.model)
+      model = net_map[G.model](env, mG)
+      model.load(G.weightdir)
+    import IPython
+    IPython.embed(colors='neutral')
+    return
   if G.mode == 'collect':
     from boxlcd_tpu.data import collect
     collect(env_fn(G), G)

@@ -34,6 +34,7 @@ class Net:
 
   def _init(self):
     self.key, k = jax.random.split(self.key)
+    self.step = 0
     self.params = self.init_params(k)
     self.num_vars = sum(np.prod(p.shape) for p in
                         jax.tree_util.tree_leaves(self.params))
@@ -74,9 +75,36 @@ class Net:
           body, (params, opt_state, rng), batches)
       return params, opt_state, metrics
 
-    self._update = jax.jit(update)
-    self._update_many = jax.jit(update_many)
-    self._dry = jax.jit(dry)
+    mesh_spec = str(self.G.get('mesh', '') or '')
+    if mesh_spec:
+      # data-parallel training over a device mesh: batch sharded on 'dp',
+      # params/opt replicated, XLA inserts the gradient all-reduce over ICI
+      # (SURVEY §2.5; mesh carries a 'tp' axis of size 1 so the layout
+      # generalizes if models outgrow a chip)
+      assert mesh_spec.startswith('dp'), f'unsupported mesh {mesh_spec!r}'
+      ndev = int(mesh_spec[2:])
+      avail = jax.devices()
+      assert len(avail) >= ndev, \
+          f'mesh {mesh_spec} needs {ndev} devices, have {len(avail)}'
+      from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+      self.mesh = Mesh(np.array(avail[:ndev]).reshape(ndev, 1), ('dp', 'tp'))
+      repl = NamedSharding(self.mesh, P())
+      bshard = NamedSharding(self.mesh, P('dp'))
+      kshard = NamedSharding(self.mesh, P(None, 'dp'))  # (K, B, ...) chunks
+      self.params = jax.device_put(self.params, repl)
+      self.opt_state = jax.device_put(self.opt_state, repl)
+      self._update = jax.jit(update, in_shardings=(repl, repl, bshard, repl),
+                             out_shardings=(repl, repl, repl))
+      self._update_many = jax.jit(update_many,
+                                  in_shardings=(repl, repl, kshard, repl),
+                                  out_shardings=(repl, repl, repl))
+      self._dry = jax.jit(dry, in_shardings=(repl, bshard, repl),
+                          out_shardings=repl)
+    else:
+      self.mesh = None
+      self._update = jax.jit(update)
+      self._update_many = jax.jit(update_many)
+      self._dry = jax.jit(dry)
 
   def _rng(self):
     self.key, k = jax.random.split(self.key)
@@ -89,6 +117,7 @@ class Net:
     else:
       self.params, self.opt_state, metrics = self._update(
           self.params, self.opt_state, batch, self._rng())
+      self.step += 1
     return metrics
 
   def train_steps(self, batches):
@@ -96,23 +125,36 @@ class Net:
     Returns the metrics of the final step."""
     self.params, self.opt_state, metrics = self._update_many(
         self.params, self.opt_state, batches, self._rng())
+    self.step += jax.tree_util.tree_leaves(batches)[0].shape[0]
     return {k: v[-1] for k, v in metrics.items()}
 
   def save(self, direc):
+    """Full checkpoint: params + opt_state + step + RNG + config (the
+    reference saves params+G only, nets/_base.py:26-39; SURVEY §5.4 requires
+    true mid-run resume)."""
     direc = Path(direc)
     direc.mkdir(parents=True, exist_ok=True)
     path = direc / f'{self.name}.pkl'
     blob = {'params': flax.serialization.to_bytes(self.params),
+            'opt_state': flax.serialization.to_bytes(self.opt_state),
+            'step': int(self.step),
+            'key': np.asarray(self.key),
             'G': dict(self.G)}
     with open(path, 'wb') as f:
       pickle.dump(blob, f)
     print('SAVED MODEL', path)
 
-  def load(self, direc):
+  def load(self, direc, resume=True):
+    """Restore params; with resume=True also opt_state/step/RNG if saved."""
     path = Path(direc) / f'{self.name}.pkl'
     with open(path, 'rb') as f:
       blob = pickle.load(f)
     self.params = flax.serialization.from_bytes(self.params, blob['params'])
+    if resume and 'opt_state' in blob:
+      self.opt_state = flax.serialization.from_bytes(self.opt_state,
+                                                     blob['opt_state'])
+      self.step = int(blob.get('step', 0))
+      self.key = jnp.asarray(blob['key'])
     print(f'LOADED {path}')
 
   @staticmethod

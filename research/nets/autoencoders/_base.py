@@ -39,10 +39,23 @@ class Autoencoder(Net):
     z = self.sample_z(k1, n)
     return self.decode_mode(self.params, z)
 
+  def _re_render_proprio(self, proprio):
+    """Teleport the env to proprio and rasterize on device — replaces the
+    reference's env.reset(proprio=...) round-trips (_base.py:63-82)."""
+    key = jax.random.PRNGKey(0)
+
+    def rr(p):
+      st = Env.teleport(self.env, key, proprio=p)
+      return Env.observe(self.env, st)['lcd']
+
+    return jax.jit(jax.vmap(rr))(proprio.reshape(-1, proprio.shape[-1]))
+
   def evaluate(self, writer, batch, itr, arbiter=None):
-    """Prompted recon metrics + sample grids (reference: _base.py:51-132)."""
+    """Unprompted (sample + arbiter FID) and prompted (recon metrics,
+    feature cosdist, proprio re-render plots) — reference _base.py:44-132."""
     metrics = {}
-    flat = {k: flat01(v) for k, v in batch.items() if k != 'action'}
+    flat = self.prep({k: v for k, v in batch.items() if k != 'action'})
+    # --- prompted: encode/decode the batch
     z = self.encode(self.params, flat, noise=False)
     recon = self.decode_mode(self.params, z)
     lcd_t = flat['lcd'][:, None] if flat['lcd'].ndim == 3 else flat['lcd']
@@ -54,11 +67,45 @@ class Autoencoder(Net):
     cos = (pt * pp).sum(-1) / (
         jnp.linalg.norm(pt, axis=-1) * jnp.linalg.norm(pp, axis=-1) + 1e-8)
     metrics['eval/proprio_cosdist'] = 1 - cos.mean()
+    # --- unprompted: sample from the prior
+    n = flat['lcd'].shape[0]
+    sample = self.sample(self._rng(), n)
+    single = arbiter is not None and arbiter.get('kind') == 'ArbiterAE'
+    if single:
+      sq = lambda x: x[:, 0] if (x.ndim == 4 and x.shape[1] == 1) else x
+      saz, _ = arbiter['fn'](arbiter['params'],
+                             {'lcd': sq(sample['lcd']),
+                              'proprio': sample['proprio']})
+      taz, _ = arbiter['fn'](arbiter['params'],
+                             {'lcd': sq(lcd_t), 'proprio': pt})
+      metrics['eval/fid'] = M.fid(np.asarray(saz), np.asarray(taz))
+      paz, _ = arbiter['fn'](arbiter['params'],
+                             {'lcd': sq(lcd_p), 'proprio': pp})
+      fcos = (paz * taz).sum(-1) / (
+          jnp.linalg.norm(paz, axis=-1) * jnp.linalg.norm(taz, axis=-1) + 1e-8)
+      metrics['eval/cosdist'] = (1 - fcos).mean()
     if writer is not None:
-      img_t = np.asarray(lcd_t[:8, 0])
-      img_p = np.asarray(lcd_p[:8, 0])
-      grid = np.concatenate([img_t, img_p], axis=1)  # truth over recon
-      writer.add_image('eval/recon', grid.reshape(1, -1, grid.shape[-1]), itr)
+      k = min(8, lcd_t.shape[0])
+      img_t = np.asarray(lcd_t[:k, 0])
+      img_p = np.asarray(lcd_p[:k, 0])
+      err = (img_p - img_t + 1.0) / 2.0
+      grid = np.concatenate([img_t, img_p, err], axis=1)  # truth/recon/error
+      writer.add_image('eval/recon_lcd',
+                       grid.transpose(1, 0, 2).reshape(1, grid.shape[1], -1),
+                       itr)
+      # proprio re-render plots (reference: _base.py:63-82)
+      rr_p = np.asarray(self._re_render_proprio(pp[:k]), np.float32)
+      rr_t = np.asarray(self._re_render_proprio(pt[:k]), np.float32)
+      rerr = (rr_p - rr_t + 1.0) / 2.0
+      rgrid = np.concatenate([rr_t, rr_p, rerr], axis=1)
+      writer.add_image('eval/recon_proprio',
+                       rgrid.transpose(1, 0, 2).reshape(1, rgrid.shape[1], -1),
+                       itr)
+      simg = np.asarray(sample['lcd'][:k])
+      simg = simg[:, 0] if simg.ndim == 4 else simg
+      writer.add_image('eval/sample_lcd',
+                       simg.transpose(1, 0, 2).reshape(1, simg.shape[1], -1),
+                       itr)
     return {k: float(v) for k, v in metrics.items()}
 
 

@@ -49,6 +49,23 @@ class RLAlgo:
     else:
       self.env = VecEnv(raw, G.num_envs, G, goal_mode=gm, seed=G.seed + 2)
       self.tvenv = self.real_tvenv
+    if G.get('preproc'):
+      # frozen-AE observation preprocessing: obs gain zstate / goal:zstate
+      # (reference: rl/_base.py Preproc stacking + preproc_vec_env.py)
+      from research.nets import net_map
+      from research.nets._base import Net
+      from research.wrappers import PreprocVecEnv
+      pname = str(G.get('preproc_net', 'BVAE'))
+      pG = Net.load_config(G.preproc, pname)
+      preproc = net_map[pname](self.tenv._env if hasattr(self.tenv, '_env')
+                               else self.tenv, pG)
+      preproc.load(G.preproc)
+      self.env = PreprocVecEnv(preproc, self.env, G)
+      self.real_tvenv = PreprocVecEnv(preproc, self.real_tvenv, G)
+      if G.lenv:
+        self.learned_tvenv = PreprocVecEnv(preproc, self.learned_tvenv, G)
+      self.tvenv = self.real_tvenv if not G.lenv else self.learned_tvenv
+      self.obs_space = self.env.observation_space
     self.goal_key = ('goal:object'
                      if type(self.tenv).__name__ == 'CubeGoalEnv'
                      else 'goal:proprio')

@@ -19,13 +19,14 @@ class ReplayBuffer:
   """Vectorized FIFO replay with wrap-around store_n
   (reference: buffers.py:61-109)."""
 
-  def __init__(self, obs_keys_shapes, act_dim, size):
+  def __init__(self, obs_keys_shapes, act_dim, size, obs_dtypes=None):
     self.size = size
     self.ptr = 0
     self.count = 0
-    self.obs = {k: np.zeros((size, *s), np.float32)
+    dt = obs_dtypes or {}
+    self.obs = {k: np.zeros((size, *s), dt.get(k, np.float32))
                 for k, s in obs_keys_shapes.items()}
-    self.obs2 = {k: np.zeros((size, *s), np.float32)
+    self.obs2 = {k: np.zeros((size, *s), dt.get(k, np.float32))
                  for k, s in obs_keys_shapes.items()}
     self.act = np.zeros((size, act_dim), np.float32)
     self.rew = np.zeros(size, np.float32)
@@ -45,8 +46,9 @@ class ReplayBuffer:
 
   def sample_batch(self, rng, batch_size):
     idx = rng.randint(0, self.count, batch_size)
-    return {'obs': {k: v[idx] for k, v in self.obs.items()},
-            'obs2': {k: v[idx] for k, v in self.obs2.items()},
+    f32 = lambda v: v[idx].astype(np.float32)  # bool lcd storage -> float
+    return {'obs': {k: f32(v) for k, v in self.obs.items()},
+            'obs2': {k: f32(v) for k, v in self.obs2.items()},
             'act': self.act[idx], 'rew': self.rew[idx],
             'done': self.done[idx]}
 

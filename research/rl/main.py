@@ -40,6 +40,7 @@ def rl_config():
   _G.diff_delt = 0
   _G.goal_thresh = 0.05
   _G.preproc_rew = 0
+  _G.preproc_net = 'BVAE'  # which AE class the preproc weights belong to
   _G.learned_rew = 0
   _G.clip_ratio = 0.2
   _G.train_pi_iters = 80

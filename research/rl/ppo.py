@@ -93,6 +93,35 @@ class PPO(RLAlgo):
     return {self.G.state_key: jnp.asarray(o[self.G.state_key], jnp.float32),
             self.goal_key: jnp.asarray(o[self.goal_key], jnp.float32)}
 
+  def save(self, direc):
+    """Checkpoint actor-critic + opt states (reference: pponets.py:117-130)."""
+    import pickle
+    from pathlib import Path
+    import flax
+    direc = Path(direc)
+    direc.mkdir(parents=True, exist_ok=True)
+    blob = {'params': flax.serialization.to_bytes(self.params),
+            'pi_state': flax.serialization.to_bytes(self.pi_state),
+            'v_state': flax.serialization.to_bytes(self.v_state),
+            'key': np.asarray(self.key), 'G': dict(self.G)}
+    with open(direc / 'ppo.pkl', 'wb') as f:
+      pickle.dump(blob, f)
+    print('SAVED PPO', direc / 'ppo.pkl')
+
+  def load(self, direc):
+    import pickle
+    from pathlib import Path
+    import flax
+    with open(Path(direc) / 'ppo.pkl', 'rb') as f:
+      blob = pickle.load(f)
+    self.params = flax.serialization.from_bytes(self.params, blob['params'])
+    self.pi_state = flax.serialization.from_bytes(self.pi_state,
+                                                  blob['pi_state'])
+    self.v_state = flax.serialization.from_bytes(self.v_state,
+                                                 blob['v_state'])
+    self.key = jnp.asarray(blob['key'])
+    print('LOADED PPO', Path(direc) / 'ppo.pkl')
+
   def get_av(self, o):
     self.key, k = jax.random.split(self.key)
     return self._step(self.params, self._obs_subset(o), k)
@@ -163,3 +192,5 @@ class PPO(RLAlgo):
           self.test_agent(epoch, use_lenv=True)
         utils.dump_logger(self.logger, self.writer, epoch * G.steps_per_epoch,
                           G)
+        self.save(G.logdir)
+    self.save(G.logdir)

@@ -22,11 +22,22 @@ class SAC(RLAlgo):
     obs_space = self.obs_space
     act_dim = self.act_space.shape[-1]
     state_size = obs_space[G.state_key].shape[-1]
+    net_kind = str(G.get('net', 'mlp'))
     self.net = SACNets(act_dim, G.state_key, self.goal_key, state_size,
-                       G.hidden_size)
+                       G.hidden_size, net=net_kind,
+                       nfilter=int(G.get('nfilter', 64)),
+                       zdelta=bool(G.get('zdelta', 1)))
+    # which obs keys the net consumes (reference: sacnets.py:31-158)
+    self.net_keys = [G.state_key, self.goal_key]
+    if net_kind in ('cmlp', 'cnn'):
+      self.net_keys += ['lcd', 'goal:lcd']
+    elif net_kind == 'bvae':
+      self.net_keys += ['zstate', 'goal:zstate']
     self.key = jax.random.PRNGKey(G.seed)
-    dummy_obs = {G.state_key: jnp.zeros((1, state_size)),
-                 self.goal_key: jnp.zeros((1, obs_space[self.goal_key].shape[-1]))}
+    def _space_shape(k):
+      shp = obs_space[k].shape
+      return shp[-2:] if k.endswith('lcd') else shp[-1:]
+    dummy_obs = {k: jnp.zeros((1, *_space_shape(k))) for k in self.net_keys}
     self.key, k1 = jax.random.split(self.key)
     self.params = self.net.init(k1, dummy_obs, jnp.zeros((1, act_dim)), k1)
     self.target_params = self.params
@@ -38,9 +49,11 @@ class SAC(RLAlgo):
     self.pi_state = self.pi_opt.init(self.params)
     self.q_state = self.q_opt.init(self.params)
     self.a_state = self.a_opt.init(self.log_alpha)
-    obs_shapes = {G.state_key: obs_space[G.state_key].shape[-1:],
-                  self.goal_key: obs_space[self.goal_key].shape[-1:]}
-    self.buf = ReplayBuffer(obs_shapes, act_dim, int(G.replay_size))
+    obs_shapes = {k: _space_shape(k) for k in self.net_keys}
+    obs_dtypes = {k: (bool if k.endswith('lcd') else np.float32)
+                  for k in self.net_keys}
+    self.buf = ReplayBuffer(obs_shapes, act_dim, int(G.replay_size),
+                            obs_dtypes=obs_dtypes)
     self.rng = np.random.RandomState(G.seed)
     self._build()
 
@@ -106,8 +119,44 @@ class SAC(RLAlgo):
     self._update = jax.jit(update)
 
   def _obs_subset(self, o):
-    return {self.G.state_key: np.asarray(o[self.G.state_key], np.float32),
-            self.goal_key: np.asarray(o[self.goal_key], np.float32)}
+    return {k: np.asarray(o[k], np.float32) for k in self.net_keys}
+
+  def save(self, direc):
+    """Checkpoint policy/Q params + opt states (reference: sac.py:337-338)."""
+    import pickle
+    from pathlib import Path
+    import flax
+    direc = Path(direc)
+    direc.mkdir(parents=True, exist_ok=True)
+    blob = {'params': flax.serialization.to_bytes(self.params),
+            'target_params': flax.serialization.to_bytes(self.target_params),
+            'log_alpha': np.asarray(self.log_alpha),
+            'pi_state': flax.serialization.to_bytes(self.pi_state),
+            'q_state': flax.serialization.to_bytes(self.q_state),
+            'a_state': flax.serialization.to_bytes(self.a_state),
+            'key': np.asarray(self.key), 'G': dict(self.G)}
+    with open(direc / 'sac.pkl', 'wb') as f:
+      pickle.dump(blob, f)
+    print('SAVED SAC', direc / 'sac.pkl')
+
+  def load(self, direc):
+    import pickle
+    from pathlib import Path
+    import flax
+    with open(Path(direc) / 'sac.pkl', 'rb') as f:
+      blob = pickle.load(f)
+    self.params = flax.serialization.from_bytes(self.params, blob['params'])
+    self.target_params = flax.serialization.from_bytes(
+        self.target_params, blob['target_params'])
+    self.log_alpha = jnp.asarray(blob['log_alpha'])
+    self.pi_state = flax.serialization.from_bytes(self.pi_state,
+                                                  blob['pi_state'])
+    self.q_state = flax.serialization.from_bytes(self.q_state,
+                                                 blob['q_state'])
+    self.a_state = flax.serialization.from_bytes(self.a_state,
+                                                 blob['a_state'])
+    self.key = jnp.asarray(blob['key'])
+    print('LOADED SAC', Path(direc) / 'sac.pkl')
 
   def get_a(self, o, deterministic=False):
     self.key, k = jax.random.split(self.key)
@@ -147,6 +196,7 @@ class SAC(RLAlgo):
           self.test_agent(itr, use_lenv=True)
         self.logger['fps'] = itr * G.num_envs / (time.time() - t0)
         utils.dump_logger(self.logger, self.writer, itr, G)
+        self.save(G.logdir)
 
   def run(self):
     G = self.G
@@ -194,3 +244,4 @@ class SAC(RLAlgo):
           self.test_agent(t, use_lenv=True)
         self.logger['fps'] = t / (time.time() - t0)
         utils.dump_logger(self.logger, self.writer, t, G)
+        self.save(G.logdir)

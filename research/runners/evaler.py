@@ -1,9 +1,15 @@
 """Evaler: offline model evaluation (reference: research/runners/evaler.py).
 
-Loads weights fresh, runs unprompted + prompted sampling over the test (and
-train) set, computes arbiter-FVD / precision-recall / SSIM / PSNR / proprio
-log-MSE, aggregates mean±std over reps, and pickles the results table that
-scripts/evaluations consume (reference: evaler.py:83-86).
+Loads weights fresh, then for 5 reps over test and train sets runs:
+  unprompted — sample with random actions, burn the prompt, chop to the
+    arbiter window, collect features + arbiter action log-MSE;
+  prompted  — sample with batch prompts/actions, burn the prompt, compute
+    SSIM/PSNR/proprio log-MSE, arbiter action log-MSE (+ the true-clip
+    baseline), feature cosdist;
+then aggregates FVD / precision / recall / F1 over the collected features
+(reference: evaler.py:137-145) and pickles {'<split>:<u|p>:<metric>':
+(mean, std)} into logdir/logger.pkl — the exact table
+scripts/evaluations/script.py consumes (reference: scripts/script.py:6-51).
 """
 from __future__ import annotations
 
@@ -16,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from research import metrics as M
-from research import utils
 from boxlcd_tpu.data import load_ds
+from research.nets.video_models._base import chop
 from research.runners.trainer import load_arbiter
 
 
@@ -37,55 +43,119 @@ class Evaler:
     self.model = model
     self.arbiter = load_arbiter(G, env)
     self.train_ds, self.test_ds = load_ds(G)
+    # number of samples to pool per rep for FVD/precision/recall
+    self.N = int(G.get('eval_n', 2048))
 
   def _window(self, batch):
     w = self.model.block_size
     return {k: jnp.asarray(v[:, :w]) for k, v in batch.items()}
 
-  def do_ds(self, ds, reps=5):
-    agg = defaultdict(list)
-    it = iter(ds)
-    for rep in range(reps):
-      batch = self._window(next(it))
-      key = jax.random.PRNGKey(rep)
-      n = min(self.G.video_n, batch['lcd'].shape[0])
-      # unprompted
-      sample = self.model.sample(key, n)
-      if self.arbiter is not None:
-        paz, _ = self.arbiter['fn'](self.arbiter['params'],
-                                    {'lcd': sample['lcd'],
-                                     'proprio': sample['proprio']})
-        taz, _ = self.arbiter['fn'](self.arbiter['params'],
-                                    {'lcd': batch['lcd'][:n],
-                                     'proprio': batch['proprio'][:n]})
-        agg['fvd'].append(float(M.fid(np.asarray(paz), np.asarray(taz))))
-        pr = M.precision_recall_f1(np.asarray(taz), np.asarray(paz))
-        for k, v in pr.items():
-          agg[k].append(float(v))
-      # prompted
-      prompts = {k: v[:n] for k, v in batch.items() if k != 'action'}
-      psample = self.model.sample(key, n, action=batch['action'][:n],
-                                  prompts=prompts, prompt_n=self.G.prompt_n)
-      lcd_t = batch['lcd'][:n]
-      lcd_p = psample['lcd'].reshape(lcd_t.shape)
-      agg['ssim'].append(float(M.ssim(lcd_p, lcd_t)))
-      agg['psnr'].append(float(M.psnr(lcd_p, lcd_t)))
-      pt, pp = batch['proprio'][:n], psample['proprio']
-      agg['proprio_log_mse'].append(float(jnp.log(((pt - pp) ** 2).mean())))
-      cos = (pt * pp).sum(-1) / (jnp.linalg.norm(pt, axis=-1)
-                                 * jnp.linalg.norm(pp, axis=-1) + 1e-8)
-      agg['cosdist'].append(float((1 - cos).mean()))
-    return {k: (float(np.mean(v)), float(np.std(v))) for k, v in agg.items()}
+  def _feats(self, clip, actions=None):
+    if self.arbiter is None:
+      return None, None
+    aw = self.arbiter.get('window') or clip['lcd'].shape[1]
+    c = {'lcd': chop(clip['lcd'], aw), 'proprio': chop(clip['proprio'], aw)}
+    z, act_pred = self.arbiter['fn'](self.arbiter['params'], c)
+    almse = None
+    if actions is not None and act_pred is not None:
+      act = chop(actions, aw)[:, :-1]
+      almse = float(jnp.log(((act - act_pred) ** 2).mean()))
+    return z, almse
 
-  def run(self):
-    results = {'test': self.do_ds(self.test_ds),
-               'train': self.do_ds(self.train_ds)}
+  def unprompted(self, batch, key):
+    """Reference evaler.py:147-161: sample w/ random actions, burn, encode."""
+    n = batch['lcd'].shape[0]
+    T = self.model.block_size
+    pn = self.G.prompt_n
+    k1, k2 = jax.random.split(key)
+    action = jax.random.uniform(k1, (n, T, self.model.act_n),
+                                minval=-1.0, maxval=1.0)
+    sample = self.model.sample(k2, n, action=action)
+    burned = {k: v[:, pn:] for k, v in sample.items()
+              if k in ('lcd', 'proprio')}
+    paz, almse = self._feats(burned, action[:, pn:])
+    m = {} if almse is None else {'action_log_mse': almse}
+    return paz, m
+
+  def prompted(self, batch, key):
+    """Reference evaler.py:163-198."""
+    n = batch['lcd'].shape[0]
+    pn = self.G.prompt_n
+    prompts = {k: v for k, v in batch.items() if k != 'action'}
+    sample = self.model.sample(key, n, action=batch['action'],
+                               prompts=prompts, prompt_n=pn)
+    metrics = {}
+    lcd_t = batch['lcd']
+    lcd_p = sample['lcd'].reshape(lcd_t.shape)
+    metrics['ssim'] = float(M.ssim(lcd_p[:, pn:], lcd_t[:, pn:]))
+    metrics['psnr'] = float(M.psnr(lcd_p[:, pn:], lcd_t[:, pn:]))
+    pt, pp = batch['proprio'], sample['proprio']
+    metrics['proprio_log_mse'] = float(
+        jnp.log(((pt[:, pn:] - pp[:, pn:]) ** 2).mean()))
+    paz, almse = self._feats({'lcd': lcd_p[:, pn:], 'proprio': pp[:, pn:]},
+                             batch['action'][:, pn:])
+    taz, talmse = self._feats({'lcd': lcd_t[:, pn:], 'proprio': pt[:, pn:]},
+                              batch['action'][:, pn:])
+    if almse is not None:
+      metrics['action_log_mse'] = almse
+      metrics['true_action_log_mse'] = talmse
+    if paz is not None:
+      cos = (paz * taz).sum(-1) / (jnp.linalg.norm(paz, axis=-1)
+                                   * jnp.linalg.norm(taz, axis=-1) + 1e-8)
+      metrics['cosdist'] = float((1 - cos).mean())
+    return paz, taz, metrics
+
+  def do_ds(self, ds, key):
+    logger = defaultdict(list)
+    all_paz, all_upaz, all_taz = [], [], []
+    seen = 0
+    it = iter(ds)
+    while seen < self.N:
+      batch = self._window(next(it))
+      key, k1, k2 = jax.random.split(key, 3)
+      upaz, um = self.unprompted(batch, k1)
+      for k, v in um.items():
+        logger['u:' + k].append(v)
+      paz, taz, pm = self.prompted(batch, k2)
+      for k, v in pm.items():
+        logger['p:' + k].append(v)
+      if paz is not None:
+        all_upaz.append(np.asarray(upaz))
+        all_paz.append(np.asarray(paz))
+        all_taz.append(np.asarray(taz))
+      seen += batch['lcd'].shape[0]
+    if all_taz:
+      upaz = np.concatenate(all_upaz)
+      paz = np.concatenate(all_paz)
+      taz = np.concatenate(all_taz)
+      for prefix, z in (('u:', upaz), ('p:', paz)):
+        logger[prefix + 'fvd'].append(float(M.fid(z, taz)))
+        pr = M.precision_recall_f1(taz[:5000], z[:5000])
+        for k, v in pr.items():
+          logger[prefix + k].append(float(v))
+    return {k: float(np.mean(v)) for k, v in logger.items()}
+
+  def run(self, reps=5):
+    logger = defaultdict(list)
+    for rep in range(reps):
+      key = jax.random.PRNGKey(rep)
+      k1, k2 = jax.random.split(key)
+      for split, ds, k in (('test', self.test_ds, k1),
+                           ('train', self.train_ds, k2)):
+        for mk, v in self.do_ds(ds, k).items():
+          logger[f'{split}:{mk}'].append(v)
+    final = {k: (float(np.mean(v)), float(np.std(v)))
+             for k, v in logger.items()}
     logdir = Path(self.G.logdir)
     logdir.mkdir(parents=True, exist_ok=True)
     with open(logdir / 'logger.pkl', 'wb') as f:
-      pickle.dump(results, f)
-    for split, table in results.items():
-      print(f'== {split}')
-      for k, (m, s) in table.items():
-        print(f'{k:24s} {m:.4f} ± {s:.4f}')
-    return results
+      pickle.dump(final, f)
+    for split in ('test', 'train'):
+      for mode, label in (('u', 'Unprompted'), ('p', 'Prompted')):
+        rows = {k.split(':', 2)[2]: v for k, v in final.items()
+                if k.startswith(f'{split}:{mode}:')}
+        if rows:
+          print(f'== {split} {label}')
+          for k, (m, s) in rows.items():
+            print(f'{k:24s} {m:.4f} ± {s:.4f}')
+    return final

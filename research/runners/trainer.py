@@ -18,24 +18,39 @@ from boxlcd_tpu.data import load_ds
 
 
 def load_arbiter(G, env):
-  """Load a frozen arbiter as {'fn': pure apply, 'params': ...} or None."""
+  """Load a frozen arbiter as {'fn', 'params', 'window', 'kind'} or None.
+
+  Dispatches on the saved blob kind: MultiStepArbiter (window clip features +
+  action preds, for video models) or ArbiterAE (single-frame features, for
+  autoencoders) — replacing the reference's torch.jit.load at trainer.py:43-55.
+  """
   arbdir = Path(G.arbiterdir)
   cands = sorted(arbdir.glob('*.frozen.pkl')) if arbdir.is_dir() else []
   if not cands:
     return None
   import flax
   from boxlcd_tpu.utils import AttrDict
-  from research.nets.autoencoders.multistep_arbiter import MultiStepArbiter
   with open(cands[0], 'rb') as f:
     blob = pickle.load(f)
-  model = MultiStepArbiter(env, AttrDict(blob['G']))
+  kind = blob.get('kind', 'MultiStepArbiter')
+  aG = AttrDict(blob['G'])
+  if kind == 'MultiStepArbiter':
+    from research.nets.autoencoders.multistep_arbiter import MultiStepArbiter
+    model = MultiStepArbiter(env, aG)
+    window = int(aG.window)
+
+    def fn(params, batch):
+      return model.forward_frozen(params, batch)
+  else:
+    from research.nets.autoencoders.arbiter import ArbiterAE
+    model = ArbiterAE(env, aG)
+    window = None
+
+    def fn(params, batch):
+      return model.encode(params, batch), None
   params = flax.serialization.from_bytes(model.params, blob['params'])
-
-  def fn(params, batch):
-    return model.forward_frozen(params, batch)
-
-  print('LOADED ARBITER', cands[0])
-  return {'fn': fn, 'params': params}
+  print('LOADED ARBITER', cands[0], kind)
+  return {'fn': fn, 'params': params, 'window': window, 'kind': kind}
 
 
 class Trainer:
@@ -58,7 +73,10 @@ class Trainer:
       import jax
       jax.profiler.start_trace(str(G.logdir))  # view with tensorboard/xprof
     chunk = max(1, int(G.get('steps_per_dispatch', 1)))
-    itr = 0
+    # mid-run resume: the checkpoint carries the step counter (SURVEY §5.4)
+    itr = int(getattr(self.model, 'step', 0))
+    if itr:
+      print(f'RESUMING at step {itr}')
     while itr < int(G.total_itr):
       if chunk > 1:
         with utils.Timer(self.logger, 'sample_batch'):

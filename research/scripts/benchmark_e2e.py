@@ -42,9 +42,13 @@ def main():
   from boxlcd_tpu.data.collect import collect
   if (work / 'data' / 'train').is_dir() and \
       len(list((work / 'data' / 'train').glob('*.npz'))) >= n_eps // 1000:
-    print('[e2e] reusing existing dataset')
-    t_data = float(os.environ.get('E2E_DATA_SECS', 395.0))
-    t0 = time.time() - t_data
+    # reusing a dataset: datagen time is NOT measured this run — report it
+    # as None unless the caller supplies the measured figure explicitly, so
+    # composed wall-clock totals never silently mix measured and assumed
+    print('[e2e] reusing existing dataset (datagen time not measured)')
+    t_data = (float(os.environ['E2E_DATA_SECS'])
+              if 'E2E_DATA_SECS' in os.environ else None)
+    t0 = time.time() - (t_data or 0.0)
   else:
     collect(env_fn(G), G)
     t_data = time.time() - t0
@@ -63,7 +67,7 @@ def main():
   train_device(bvae, ds, bvae_iters, bs=32, window=5, chunk=200,
                log_every=bvae_iters // 4)
   bvae.save(work / 'bvae')
-  t_bvae = time.time() - t0 - t_data
+  t_bvae = time.time() - t0 - (t_data or 0.0)
 
   # --- FBT ------------------------------------------------------------------
   from research.nets.video_models.fbt import FBT
@@ -88,9 +92,11 @@ def main():
   print(json.dumps({
       'metric': 'e2e_datagen_plus_fbt_wallclock',
       'n_episodes': n_eps, 'bvae_iters': bvae_iters, 'fbt_iters': fbt_iters,
-      'datagen_s': round(t_data, 1), 'bvae_s': round(t_bvae, 1),
-      'total_s': round(total, 1),
-      'under_one_hour': total < 3600,
+      'datagen_s': None if t_data is None else round(t_data, 1),
+      'bvae_s': round(t_bvae, 1),
+      'total_s': None if t_data is None else round(total, 1),
+      'measured_this_run_s': round(total - (t_data or 0.0), 1),
+      'under_one_hour': None if t_data is None else total < 3600,
   }))
 
 

@@ -29,7 +29,11 @@ def main():
       pkl = Path(args.logdir) / model / env / 'logger.pkl'
       if pkl.exists():
         with open(pkl, 'rb') as f:
-          res = pickle.load(f)[args.split]
+          table = pickle.load(f)
+        # keys are '<split>:<u|p>:<metric>' -> (mean, std); the paper table
+        # uses the prompted test metrics (reference: scripts/script.py:30-42)
+        res = {k.split(':', 2)[2]: v for k, v in table.items()
+               if k.startswith(f'{args.split}:p:')}
         for metric in METRICS:
           if metric in res:
             m, s = res[metric]

@@ -132,14 +132,16 @@ def write_gif(path, frames, fps=10, upscale=8):
 
 
 def add_video(writer, tag, video, itr, fps=10):
-  """Log (T, H, W) or (B, T, H, W) video to TB (reference: utils.py:203-247)."""
+  """Log (T,H,W), (B,T,H,W) gray or (B,T,3,H,W) RGB video to TB
+  (reference: utils.py:203-247)."""
   if writer is None:
     return
   import numpy as _np
   v = _np.asarray(video, _np.float32)
   if v.ndim == 3:
     v = v[None]
-  v = v[:, :, None].repeat(3, 2)  # (B, T, C, H, W)
+  if v.ndim == 4:
+    v = v[:, :, None].repeat(3, 2)  # (B, T, C, H, W)
   try:
     import torch
     writer.add_video(tag, torch.as_tensor((255 * v).astype(_np.uint8)), itr,

@@ -201,7 +201,14 @@ class RewardLenv:
     if not self._is_cube:
       delta = jnp.abs(obs['goal:proprio'][..., self._bidx]
                       - obs['proprio'][..., self._bidx]).mean(-1)
-      rew = -delta
+      if self.G.get('diff_delt', 0):
+        # diff-delta shaping, body goals too (reference: body_goal.py:66-71)
+        last_delta = jnp.abs(
+            self.last_obs['goal:proprio'][..., self._bidx]
+            - self.last_obs['proprio'][..., self._bidx]).mean(-1)
+        rew = -0.05 + 10 * (last_delta - delta)
+      else:
+        rew = -delta
       done = delta < self.G.goal_thresh
     else:
       assert self.obj_loc is not None, 'CubeGoal lenv needs an ObjectLocalizer'
