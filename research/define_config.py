@@ -45,6 +45,7 @@ def config():
   G.optimize_actions = 0  # viz mode: plan actions by grad through the model
   G.eval_n = 2048         # samples pooled per Evaler rep for FVD/P-R
   G.mesh = ''             # e.g. 'dp8': data-parallel train/collect sharding
+  G.device_dataset = 0    # train from an HBM-resident dataset (no host I/O)
 
   G.amp = 0
   G.total_itr = int(1e9)

@@ -79,7 +79,34 @@ def main(argv=None):
     from research.runners import Trainer
     model = net_map[G.model](env, G)
     print(f'{G.model}: {model.num_vars:,} params')
-    Trainer(model, env, G).run()
+    if G.get('device_dataset', 0):
+      # HBM-resident dataset + on-device window sampling: zero host
+      # round-trips per update (the round-1 e2e fast path, now first-class)
+      from pathlib import Path
+      from boxlcd_tpu.data.device_dataset import DeviceDataset, train_device
+      from research import utils as rutils
+      ds = DeviceDataset(Path(G.datadir) / 'train')
+      print(f'dataset on device: {ds.n_episodes} episodes')
+      writer = rutils.make_writer(G.logdir)
+      data = None
+      if G.model == 'FBT':
+        data = {'z': model.precompute_z(ds.data, unpack=ds.unpack_lcd),
+                'action': ds.data['action']}
+
+      def cb(itr, line):
+        for k, v in line.items():
+          writer.add_scalar(k, v, itr)
+        writer.flush()
+
+      chunk = int(G.get('steps_per_dispatch', 1))
+      if chunk <= 1:  # default: amortize dispatch latency over 100 steps
+        chunk = min(100, int(G.total_itr))
+      train_device(model, ds, int(G.total_itr), bs=G.bs, window=G.window,
+                   chunk=chunk, log_every=int(G.log_n), logger_cb=cb,
+                   data=data)
+      model.save(G.logdir)
+    else:
+      Trainer(model, env, G).run()
   elif G.mode == 'eval':
     from research.runners import Evaler
     Evaler(None, env, G).run()

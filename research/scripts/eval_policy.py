@@ -52,7 +52,11 @@ def main():
   else:
     from research.rl.sac import SAC
     algo = SAC(G)
-  # weights should have been restored into algo by its own load logic/caller
+  ckpt = Path(G.logdir) / f'{G.algo}.pkl'
+  if ckpt.exists():
+    algo.load(G.logdir)
+  else:
+    print(f'WARNING: no checkpoint at {ckpt}; evaluating the fresh policy')
   rate = evaluate(G, algo.get_a)
   out = Path(G.logdir) / 'eval_policy.pkl'
   out.parent.mkdir(parents=True, exist_ok=True)

@@ -1,0 +1,57 @@
+#!/bin/bash
+# Headline RL transfer protocol (reference README.md:111-139, BASELINE.md
+# rows 1-4): PPO trained in the real sim vs PPO trained inside the learned
+# sim (FBT), both evaluated on the real sim at N=1000 episodes.
+# Usage: headline_rl.sh <ENV> <WORKDIR> [PPO_STEPS]
+# Runs on the real TPU (no JAX_PLATFORMS override). One JAX process at a time.
+set -euo pipefail
+ENV=${1:-Luxo}
+WORK=${2:-/tmp/headline_$ENV}
+PPO_STEPS=${3:-400000}
+cd "$(dirname "$0")/../.."
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+mkdir -p "$WORK"
+
+echo "=== [1/7] collect $ENV"
+if [ ! -d "$WORK/data/train" ]; then
+  python -m research.main --mode=collect --env=$ENV --logdir=$WORK/data \
+    --train_barrels=100 --test_barrels=10 --num_envs=4000 \
+    --barrel_format=native
+fi
+
+echo "=== [2/7] BVAE"
+if [ ! -f "$WORK/bvae/BVAE.pkl" ]; then
+  python -m research.main --mode=train --model=BVAE --env=$ENV \
+    --datadir=$WORK/data --logdir=$WORK/bvae --total_itr=30000 --bs=32 \
+    --window=5 --log_n=5000 --device_dataset=1
+fi
+
+echo "=== [3/7] FBT"
+if [ ! -f "$WORK/fbt/FBT.pkl" ]; then
+  python -m research.main --mode=train --model=FBT --env=$ENV \
+    --datadir=$WORK/data --weightdir=$WORK/bvae --logdir=$WORK/fbt \
+    --total_itr=100000 --bs=32 --window=25 --n_embed=512 --n_head=8 \
+    --n_layer=4 --log_n=20000 --device_dataset=1
+fi
+
+echo "=== [4/7] PPO in the REAL sim"
+python research/rl/main.py ppo --env=$ENV --goals=1 --autoreset=1 --lenv=0 \
+  --num_envs=64 --total_steps=$PPO_STEPS --steps_per_epoch=4096 \
+  --logdir=$WORK/ppo_real --test_n=5
+
+echo "=== [5/7] eval PPO(real) on real sim, N=1000"
+python research/scripts/eval_policy.py ppo --env=$ENV --goals=1 \
+  --logdir=$WORK/ppo_real | tail -3
+
+echo "=== [6/7] PPO in the LEARNED sim (FBT)"
+python research/rl/main.py ppo --env=$ENV --goals=1 --autoreset=1 --lenv=1 \
+  --model=FBT --weightdir=$WORK/fbt --num_envs=64 \
+  --total_steps=$PPO_STEPS --steps_per_epoch=4096 \
+  --logdir=$WORK/ppo_lenv --test_n=5
+
+echo "=== [7/7] eval PPO(lenv) on real sim, N=1000"
+python research/scripts/eval_policy.py ppo --env=$ENV --goals=1 \
+  --logdir=$WORK/ppo_lenv | tail -3
+
+echo "=== chain complete: $WORK"

@@ -18,13 +18,30 @@ from boxlcd_tpu.engine import physics
 EPS_DIVERGE = 0.16
 
 
+def make_env(name, G=None):
+  """Zoo env by name, or a bare-morphology world (walker/gingy/octo/spider
+  have no zoo env class of their own; the reference exercises them via
+  world_defs only)."""
+  if name in boxlcd_tpu.env_map:
+    return boxlcd_tpu.env_map[name](G)
+  from boxlcd_tpu.envs.env import WorldEnv
+  from boxlcd_tpu.world_defs import ROBOT_FILLER, Robot, WorldDef
+  assert name.lower() in ROBOT_FILLER, name
+  w = WorldDef(robots=[Robot(type=name.lower(), name=f'{name.lower()}0')],
+               objects=[])
+  G = dict(G or {})
+  G.setdefault('wh_ratio', 2.0)
+  G.setdefault('ep_len', 100)
+  return WorldEnv(w, G)
+
+
 def rollout_pair(env_name, steps, seed=0, actuated=True, iters=None):
   """Roll our engine and the Box2D oracle from identical poses.
 
   Returns (ours, theirs): lists of (origin_positions (N,2), angles (N,))."""
   from tests.oracle import Box2DOracle
   G = {'vel_iters': iters[0], 'pos_iters': iters[1]} if iters else {}
-  env = boxlcd_tpu.env_map[env_name](G)
+  env = make_env(env_name, G)
   oracle = Box2DOracle(env)
   env.seed(seed)
   env.reset()

@@ -131,3 +131,15 @@ def test_offset_obs_roundtrip():
   obs2 = env.reset(full_state=target)
   err = np.abs(obs2['full_state'] - target).max()
   assert err < 1e-4, f'teleport roundtrip err {err}'
+
+
+def test_object3_teleport_random_shapes():
+  """reset(full_state=) roundtrip for objects whose shape is chosen
+  per-episode ('random', reference world_env.py:273-274)."""
+  env = boxlcd_tpu.env_map['Object3']()
+  env.seed(7)
+  obs = env.reset()
+  target = obs['full_state'].copy()
+  obs2 = env.reset(full_state=target)
+  err = np.abs(obs2['full_state'] - target).max()
+  assert err < 1e-4, f'teleport roundtrip err {err}'
