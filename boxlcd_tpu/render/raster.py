@@ -94,11 +94,17 @@ def _ellipse_mask_table(dmax: int) -> np.ndarray:
 
 
 def _tables(spec: WorldSpec, width: int, height: int):
+  """(bool mask table, uint32 row-bitmask table or None)."""
   key = (id(spec), width, height)
   if key not in _TABLE_CACHE:
     s = width / spec.width
     dmax = int(np.floor(2.0 * float(spec.radius.max()) * s)) + 1
-    _TABLE_CACHE[key] = _ellipse_mask_table(dmax)
+    tbl = _ellipse_mask_table(dmax)
+    bits = None
+    if tbl.shape[-1] <= 32:
+      weights = (1 << np.arange(tbl.shape[-1], dtype=np.uint64))
+      bits = (tbl.astype(np.uint64) * weights).sum(-1).astype(np.uint32)
+    _TABLE_CACHE[key] = (tbl, bits)
   return _TABLE_CACHE[key]
 
 
@@ -124,8 +130,41 @@ def _x_end(f):
 
 # -- exact polygon scanline fill (one body, PIL pixel frame) ---------------------
 
+def _unpack_bits(mask, width: int):
+  """(H,) uint32 row bitmasks (bit j = column j) -> (H, W) bool."""
+  return ((mask[:, None] >> jnp.arange(width, dtype=jnp.uint32)[None])
+          & jnp.uint32(1)).astype(bool)
+
+
+def _span_bits(a_f, b_f, valid, width: int):
+  """(H,) uint32 with bits [a..b] set (clamped to [0, W)), where valid.
+
+  a_f/b_f are the float span ends from _x_start/_x_end (integer-valued or
+  +/-inf on padded slots, which `valid` excludes)."""
+  a = jnp.clip(a_f, 0, width).astype(jnp.int32)
+  b = jnp.clip(b_f, -1, width - 1).astype(jnp.int32) + 1   # half-open
+  ok = valid & (a < b)
+  lo = _bits_below(a, width)
+  hi = _bits_below(b, width)
+  return jnp.where(ok, hi & ~lo, jnp.uint32(0))
+
+
+def _bits_below(k, width: int):
+  """uint32 with bits [0, k) set; k in [0, W], W <= 32."""
+  k = k.astype(jnp.uint32)
+  full = jnp.uint32(0xFFFFFFFF if width >= 32 else (1 << width) - 1)
+  return jnp.where(k >= width, full,
+                   (jnp.uint32(1) << jnp.minimum(k, 31)) - jnp.uint32(1))
+
+
 def _poly_cover(ivx, ivy, nv: int, height: int, width: int):
-  """(H, W) bool coverage of the integer-vertex polygon, PIL rules.
+  """(H, W) bool coverage of the integer-vertex polygon, PIL rules."""
+  out = _poly_fill(ivx, ivy, nv, height, width)
+  return _unpack_bits(out, width) if out.dtype == jnp.uint32 else out
+
+
+def _poly_fill(ivx, ivy, nv: int, height: int, width: int):
+  """(H,) uint32 row bitmasks (W<=32) or (H, W) bool, PIL fill rules.
 
   ivx/ivy: (nv,) traced int32 vertex coords (already truncated). nv static.
   Mirrors libImaging/Draw.c polygon_generic + the horizontal-edge hlines of
@@ -201,6 +240,21 @@ def _poly_cover(ivx, ivy, nv: int, height: int, width: int):
     j = j1 + dbl
 
   xs = jnp.sort(jnp.where(iota[None] < j[:, None], xx, _INF), axis=-1)
+  if width <= 32:
+    # bitmask span fill: one row = one uint32, O(pairs) int ops per row
+    # instead of O(pairs*W) comparisons — identical output by construction
+    mask = jnp.zeros(height, jnp.uint32)
+    for p in range(S // 2):
+      valid = j >= 2 * p + 2                                        # (H,)
+      a = _x_start(xs[:, 2 * p])
+      b = _x_end(xs[:, 2 * p + 1])
+      mask = mask | _span_bits(a, b, valid, width)
+    for i in range(nv):
+      xmin = jnp.minimum(ivx[i], ivx[(i + 1) % nv]).astype(jnp.float32)
+      xmax = jnp.maximum(ivx[i], ivx[(i + 1) % nv]).astype(jnp.float32)
+      hit = ehoriz[i] & (rows == ivy[i])
+      mask = mask | _span_bits(xmin, xmax, hit, width)
+    return mask
   cov = jnp.zeros((height, width), bool)
   for p in range(S // 2):
     valid = j >= 2 * p + 2                                          # (H,)
@@ -222,14 +276,7 @@ def _poly_cover(ivx, ivy, nv: int, height: int, width: int):
 def _circle_cover(tbl, cx, cy, r, s, height: int, width: int):
   """(H, W) bool: PIL ellipse coverage for one circle (PIL pixel frame)."""
   dmax = tbl.shape[0] - 1
-  x0 = (cx - r) * s
-  y0 = (cy - r) * s
-  x1 = (cx + r) * s
-  y1 = (cy + r) * s
-  ix0 = jnp.trunc(x0).astype(jnp.int32)
-  iy0 = jnp.trunc(y0).astype(jnp.int32)
-  iw = jnp.clip(jnp.trunc(x1).astype(jnp.int32) - ix0, 0, dmax)
-  ih = jnp.clip(jnp.trunc(y1).astype(jnp.int32) - iy0, 0, dmax)
+  ix0, iy0, iw, ih = _circle_bbox(cx, cy, r, s, dmax)
   di = jnp.arange(height, dtype=jnp.int32) - iy0                    # (H,)
   dj = jnp.arange(width, dtype=jnp.int32) - ix0                     # (W,)
   ok = ((di >= 0) & (di <= ih))[:, None] & ((dj >= 0) & (dj <= iw))[None]
@@ -238,39 +285,87 @@ def _circle_cover(tbl, cx, cy, r, s, height: int, width: int):
   return ok & tbl[ih, iw][dic[:, None], djc[None]]
 
 
-def exact_cover(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
-  """(H, W, N) bool per-body coverage in the FINAL (y-flipped) frame."""
-  tbl = jnp.asarray(_tables(spec, width, height))
+def _circle_bbox(cx, cy, r, s, dmax):
+  x0 = (cx - r) * s
+  y0 = (cy - r) * s
+  x1 = (cx + r) * s
+  y1 = (cy + r) * s
+  ix0 = jnp.trunc(x0).astype(jnp.int32)
+  iy0 = jnp.trunc(y0).astype(jnp.int32)
+  iw = jnp.clip(jnp.trunc(x1).astype(jnp.int32) - ix0, 0, dmax)
+  ih = jnp.clip(jnp.trunc(y1).astype(jnp.int32) - iy0, 0, dmax)
+  return ix0, iy0, iw, ih
+
+
+def _circle_fill(tblbits, cx, cy, r, s, height: int, width: int):
+  """(H,) uint32 row bitmasks of PIL ellipse coverage (W<=32 fast path)."""
+  dmax = tblbits.shape[0] - 1
+  ix0, iy0, iw, ih = _circle_bbox(cx, cy, r, s, dmax)
+  di = jnp.arange(height, dtype=jnp.int32) - iy0                    # (H,)
+  ok = (di >= 0) & (di <= ih)
+  rowbits = tblbits[ih, iw][jnp.clip(di, 0, dmax + 1)]              # (H,)
+  # shift the mask (bit j = column ix0+j) into image columns
+  ls = jnp.clip(ix0, 0, 31).astype(jnp.uint32)
+  rs = jnp.clip(-ix0, 0, 31).astype(jnp.uint32)
+  shifted = jnp.where(ix0 >= 0,
+                      jnp.where(ix0 < 32, rowbits << ls, jnp.uint32(0)),
+                      jnp.where(-ix0 < 32, rowbits >> rs, jnp.uint32(0)))
+  full = jnp.uint32(0xFFFFFFFF if width >= 32 else (1 << width) - 1)
+  return jnp.where(ok, shifted & full, jnp.uint32(0))
+
+
+def _poly_verts_px(spec, c, cosa, sina, s, b):
+  """Truncated pixel-space draw vertices of body b (b2Mul float32 order)."""
+  nv = int(spec.nverts[b])
+  dv = jnp.asarray(spec.draw_verts[b, :nv], jnp.float32)            # (nv, 2)
+  lc = jnp.asarray(spec.local_center[b, 1], jnp.float32)            # (2,)
+  # b2Mul op order: w = (cos*vx - sin*vy) + origin, each product rounded
+  ox = c[b, 0] - _muladd(cosa[b], lc[0], -_f32(sina[b] * lc[1]))
+  oy = c[b, 1] - _muladd(sina[b], lc[0], _f32(cosa[b] * lc[1]))
+  wx = _f32(_muladd(cosa[b], dv[:, 0], -_f32(sina[b] * dv[:, 1]))) + ox
+  wy = _f32(_muladd(sina[b], dv[:, 0], _f32(cosa[b] * dv[:, 1]))) + oy
+  ivx = jnp.trunc(wx * s).astype(jnp.int32)
+  ivy = jnp.trunc(wy * s).astype(jnp.int32)
+  return ivx, ivy, nv
+
+
+def _body_fills(spec, is_circle, c, angle, width, height, bits):
+  """Per-body coverage in the PIL (unflipped) frame: a list of (H,) uint32
+  row bitmasks (bits=True, W<=32) or (H, W) bools."""
+  tbl, tblbits = _tables(spec, width, height)
   s = jnp.float32(width / spec.width)
   cosa = jnp.cos(angle).astype(jnp.float32)                         # (N,)
   sina = jnp.sin(angle).astype(jnp.float32)
-  covs = []
+  fills = []
   for b in range(spec.n):
     kind = int(spec.shape_static[b])
     circ = None
     poly = None
     if kind != POLY:
-      circ = _circle_cover(tbl, c[b, 0], c[b, 1],
-                           jnp.float32(spec.radius[b]), s, height, width)
+      r = jnp.float32(spec.radius[b])
+      if bits:
+        circ = _circle_fill(jnp.asarray(tblbits), c[b, 0], c[b, 1], r, s,
+                            height, width)
+      else:
+        circ = _circle_cover(jnp.asarray(tbl), c[b, 0], c[b, 1], r, s,
+                             height, width)
     if kind != CIRCLE:
-      nv = int(spec.nverts[b])
-      dv = jnp.asarray(spec.draw_verts[b, :nv], jnp.float32)        # (nv, 2)
-      lc = jnp.asarray(spec.local_center[b, 1], jnp.float32)        # (2,)
-      # b2Mul op order: w = (cos*vx - sin*vy) + origin, each product rounded
-      ox = c[b, 0] - _muladd(cosa[b], lc[0], -_f32(sina[b] * lc[1]))
-      oy = c[b, 1] - _muladd(sina[b], lc[0], _f32(cosa[b] * lc[1]))
-      wx = _f32(_muladd(cosa[b], dv[:, 0], -_f32(sina[b] * dv[:, 1]))) + ox
-      wy = _f32(_muladd(sina[b], dv[:, 0], _f32(cosa[b] * dv[:, 1]))) + oy
-      ivx = jnp.trunc(wx * s).astype(jnp.int32)
-      ivy = jnp.trunc(wy * s).astype(jnp.int32)
-      poly = _poly_cover(ivx, ivy, nv, height, width)
+      ivx, ivy, nv = _poly_verts_px(spec, c, cosa, sina, s, b)
+      poly = (_poly_fill(ivx, ivy, nv, height, width) if bits
+              else _poly_cover(ivx, ivy, nv, height, width))
     if circ is None:
-      cov = poly
+      fill = poly
     elif poly is None:
-      cov = circ
+      fill = circ
     else:
-      cov = jnp.where(is_circle[b], circ, poly)
-    covs.append(cov)
+      fill = jnp.where(is_circle[b], circ, poly)
+    fills.append(fill)
+  return fills
+
+
+def exact_cover(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
+  """(H, W, N) bool per-body coverage in the FINAL (y-flipped) frame."""
+  covs = _body_fills(spec, is_circle, c, angle, width, height, bits=False)
   cov = jnp.stack(covs, axis=-1)                                    # (H, W, N)
   return cov[::-1]  # PIL FLIP_TOP_BOTTOM (world_env.py:506)
 
@@ -279,8 +374,15 @@ def lcd_render(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
   """Binarized frame, (H, W) bool, background True (one world; vmap outside).
 
   Bitwise-equal to the reference `WorldEnv.lcd_render(mode='1')` given the
-  same body poses (reference: boxLCD/world_env.py:460-512).
+  same body poses (reference: boxLCD/world_env.py:460-512). For W<=32 the
+  whole union is computed as one uint32 bitmask per row and unpacked once.
   """
+  if width <= 32 and _tables(spec, width, height)[1] is not None:
+    fills = _body_fills(spec, is_circle, c, angle, width, height, bits=True)
+    mask = fills[0]
+    for f in fills[1:]:
+      mask = mask | f
+    return ~_unpack_bits(mask, width)[::-1]
   return ~exact_cover(spec, is_circle, c, angle, width, height).any(-1)
 
 
