@@ -212,6 +212,7 @@ class WorldEnv(Env):
     self._jit_observe = jax.jit(lambda st: Env.observe(self, st))
     self._key = jax.random.PRNGKey(0)
     self._state = None
+    self.viewer = None
 
   def seed(self, seed=None):
     self._key = jax.random.PRNGKey(0 if seed is None else seed)
@@ -250,10 +251,10 @@ class WorldEnv(Env):
         self.spec, self._state.is_circle, self._state.c, self._state.a,
         width, height))
 
-  def render(self, mode='rgb_array', *_, **__):
-    """rgb_array -> LCD frame; human -> 8x RGB + upscaled LCD side by side
-    (headless array; reference blits this into a pyglet window,
-    world_env.py:514-535)."""
+  def render(self, mode='rgb_array', *_, return_pyglet_view=False, **__):
+    """rgb_array -> LCD frame; human -> 8x RGB + upscaled LCD side by side,
+    blitted into a pyglet window when one is available (headless machines
+    get the composed array; reference: world_env.py:514-535)."""
     lcd = self.lcd_render()
     if mode != 'human':
       return lcd
@@ -263,4 +264,9 @@ class WorldEnv(Env):
     low = (255 * lcd.astype(np.uint8))[:, :, None]
     low = low.repeat(8, 0).repeat(8, 1).repeat(3, 2)
     sep = np.zeros((hi.shape[0], 1, 3), np.uint8)
-    return np.concatenate([hi, sep, low], axis=1)
+    img = np.concatenate([hi, sep, low], axis=1)
+    if self.viewer is None:
+      from boxlcd_tpu.viewer import make_viewer
+      self.viewer = make_viewer(self.lcd_w * 8, self.lcd_h * 8, self.G)
+    out = self.viewer.render(img, return_rgb_array=return_pyglet_view)
+    return out if return_pyglet_view else img

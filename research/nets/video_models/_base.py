@@ -127,8 +127,9 @@ class VideoModel(Net):
         M.psnr(lcd_p[:, prompt_n:], lcd_t[:, prompt_n:]))
     pt = batch['proprio'][:n, :T]
     pp = psample['proprio']
-    metrics['eval/prompted_proprio_log_mse'] = float(
-        jnp.log(((pt[:, prompt_n:] - pp[:, prompt_n:]) ** 2).mean()))
+    if self.env.pobs_size:  # passive envs have no proprio
+      metrics['eval/prompted_proprio_log_mse'] = float(
+          jnp.log(((pt[:, prompt_n:] - pp[:, prompt_n:]) ** 2).mean()))
     if arbiter is not None:
       pburn = {k: v[:, prompt_n:] for k, v in
                {'lcd': lcd_p, 'proprio': pp}.items()}

@@ -110,12 +110,18 @@ class FBT(VideoModel):
     loss = -dists.Bernoulli(logits).log_prob(z).mean()
     return loss, {'loss/total': loss}
 
-  def precompute_z(self, data, chunk=2000, unpack=None):
+  def precompute_z(self, data, chunk=None, unpack=None):
     """Encode the whole device-resident dataset through the frozen BVAE once
     (uint8 0/1), so training samples latents directly instead of re-encoding
     bs*window frames per iteration. `unpack` maps stored lcd to full frames
     (e.g. DeviceDataset.unpack_lcd for bit-packed storage)."""
     unpack = unpack or (lambda x: x)
+    if chunk is None:
+      # bound the conv intermediates by FRAME count, not episode count —
+      # long-episode envs (Luxo ep_len=100) otherwise double the working set
+      # and blow HBM (measured: 26 GB alloc at 200k frames on v5e)
+      T = int(data['lcd'].shape[1])
+      chunk = max(1, 50_000 // T)
     # threshold, don't cast: straight-through z values sit within ~1e-7 of
     # 0/1 and a uint8 cast truncates 0.9999999 to 0
     enc = jax.jit(lambda lcd, proprio: (self.bvae.encode(

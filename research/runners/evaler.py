@@ -90,8 +90,9 @@ class Evaler:
     metrics['ssim'] = float(M.ssim(lcd_p[:, pn:], lcd_t[:, pn:]))
     metrics['psnr'] = float(M.psnr(lcd_p[:, pn:], lcd_t[:, pn:]))
     pt, pp = batch['proprio'], sample['proprio']
-    metrics['proprio_log_mse'] = float(
-        jnp.log(((pt[:, pn:] - pp[:, pn:]) ** 2).mean()))
+    if getattr(self.env, 'pobs_size', 1):  # passive envs have no proprio
+      metrics['proprio_log_mse'] = float(
+          jnp.log(((pt[:, pn:] - pp[:, pn:]) ** 2).mean()))
     paz, almse = self._feats({'lcd': lcd_p[:, pn:], 'proprio': pp[:, pn:]},
                              batch['action'][:, pn:])
     taz, talmse = self._feats({'lcd': lcd_t[:, pn:], 'proprio': pt[:, pn:]},

@@ -36,22 +36,22 @@ if [ ! -f "$WORK/fbt/FBT.pkl" ]; then
 fi
 
 echo "=== [4/7] PPO in the REAL sim"
-python research/rl/main.py ppo --env=$ENV --goals=1 --autoreset=1 --lenv=0 \
+python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 --lenv=0 \
   --num_envs=64 --total_steps=$PPO_STEPS --steps_per_epoch=4096 \
   --logdir=$WORK/ppo_real --test_n=5
 
 echo "=== [5/7] eval PPO(real) on real sim, N=1000"
-python research/scripts/eval_policy.py ppo --env=$ENV --goals=1 \
+python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
   --logdir=$WORK/ppo_real | tail -3
 
 echo "=== [6/7] PPO in the LEARNED sim (FBT)"
-python research/rl/main.py ppo --env=$ENV --goals=1 --autoreset=1 --lenv=1 \
+python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 --lenv=1 \
   --model=FBT --weightdir=$WORK/fbt --num_envs=64 \
   --total_steps=$PPO_STEPS --steps_per_epoch=4096 \
   --logdir=$WORK/ppo_lenv --test_n=5
 
 echo "=== [7/7] eval PPO(lenv) on real sim, N=1000"
-python research/scripts/eval_policy.py ppo --env=$ENV --goals=1 \
+python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
   --logdir=$WORK/ppo_lenv | tail -3
 
 echo "=== chain complete: $WORK"

@@ -43,9 +43,11 @@ def test_evaler_protocol(dataset, tmp_path):
   model = FIT(env, G)
   ev = Evaler(model, env, G)
   final = ev.run(reps=2)
+  # Dropbox is passive (no proprio), so proprio_log_mse is correctly absent
+  assert 'test:p:proprio_log_mse' not in final
   for key in ['test:u:fvd', 'test:p:fvd', 'test:p:ssim', 'test:p:psnr',
               'test:p:cosdist', 'test:p:precision', 'test:p:recall',
-              'test:p:f1', 'test:p:proprio_log_mse',
+              'test:p:f1',
               'test:p:action_log_mse', 'test:p:true_action_log_mse',
               'test:u:action_log_mse', 'train:p:ssim']:
     assert key in final, f'missing {key}: {sorted(final)}'
