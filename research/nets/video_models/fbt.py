@@ -103,6 +103,11 @@ class FBT(VideoModel):
   def loss_fn(self, params, batch, rng):
     if 'z' in batch:  # precomputed frozen-BVAE latents (fast path)
       z = batch['z']
+      if z.shape[-1] != self.z_size:  # bit-packed storage: 8 codes/byte
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (z.astype(jnp.uint8)[..., None] >> shifts) & jnp.uint8(1)
+        z = bits.reshape(*z.shape[:-1], -1)[..., :self.z_size]
+        z = z.astype(jnp.float32)
     else:
       z = jax.lax.stop_gradient(
           self.bvae.encode(self.bvae.params, batch, noise=False))
@@ -117,19 +122,39 @@ class FBT(VideoModel):
     (e.g. DeviceDataset.unpack_lcd for bit-packed storage)."""
     unpack = unpack or (lambda x: x)
     if chunk is None:
-      # bound the conv intermediates by FRAME count, not episode count —
-      # long-episode envs (Luxo ep_len=100) otherwise double the working set
-      # and blow HBM (measured: 26 GB alloc at 200k frames on v5e)
-      T = int(data['lcd'].shape[1])
-      chunk = max(1, 50_000 // T)
+      # bound the conv intermediates by PIXEL count, not episode count —
+      # long-episode/wide-frame envs (Luxo: ep_len 100, 16x32 LCD) otherwise
+      # blow HBM (measured: 38 GB of conv activations on v5e). The encode is
+      # compiled once per chunk shape; chunks stay on device, so many small
+      # dispatches are cheap.
+      px_per_ep = 8  # lcd is bit-packed uint8: 8 px/byte
+      for d in data['lcd'].shape[1:]:
+        px_per_ep *= int(d)
+      # ~2e6 px/chunk keeps the f32 conv activations (~px * nfilter * 4 B
+      # per layer) around 1.5 GB; chunks are device-resident so the extra
+      # dispatches are cheap
+      chunk = max(1, int(1e7) // max(px_per_ep, 1))
     # threshold, don't cast: straight-through z values sit within ~1e-7 of
-    # 0/1 and a uint8 cast truncates 0.9999999 to 0
-    enc = jax.jit(lambda lcd, proprio: (self.bvae.encode(
-        self.bvae.params,
-        {'lcd': unpack(lcd).astype(jnp.float32), 'proprio': proprio},
-        noise=False) > 0.5).astype(jnp.uint8))
+    # 0/1 and a uint8 cast truncates 0.9999999 to 0. Codes are stored
+    # BIT-PACKED (8/byte): the z dataset for 100k long episodes is tens of
+    # GB unpacked (measured 38 GB concat on Luxo); loss_fn unpacks per batch.
+    zpad = (-self.z_size) % 8
+    bitw = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+
+    def enc(lcd, proprio):
+      z = (self.bvae.encode(
+          self.bvae.params,
+          {'lcd': unpack(lcd).astype(jnp.float32), 'proprio': proprio},
+          noise=False) > 0.5)
+      if zpad:
+        z = jnp.concatenate(
+            [z, jnp.zeros((*z.shape[:-1], zpad), z.dtype)], -1)
+      z = z.reshape(*z.shape[:-1], -1, 8).astype(jnp.int32)
+      return (z * bitw).sum(-1).astype(jnp.uint8)
+
+    jenc = jax.jit(enc)
     n = data['lcd'].shape[0]
-    outs = [enc(data['lcd'][i:i + chunk], data['proprio'][i:i + chunk])
+    outs = [jenc(data['lcd'][i:i + chunk], data['proprio'][i:i + chunk])
             for i in range(0, n, chunk)]
     return jnp.concatenate(outs)
 

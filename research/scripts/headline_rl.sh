@@ -22,9 +22,11 @@ fi
 
 echo "=== [2/7] BVAE"
 if [ ! -f "$WORK/bvae/BVAE.pkl" ]; then
+  # kicker preset hyperparams (reference: kicker.py:19-26)
   python -m research.main --mode=train --model=BVAE --env=$ENV \
     --datadir=$WORK/data --logdir=$WORK/bvae --total_itr=30000 --bs=32 \
-    --window=5 --log_n=5000 --device_dataset=1
+    --window=5 --log_n=5000 --device_dataset=1 \
+    --hidden_size=64 --vqK=64 --vqD=16 --nfilter=16
 fi
 
 echo "=== [3/7] FBT"
