@@ -45,8 +45,9 @@ def rollout_pair(env_name, steps, seed=0, action_fn=None, iters=None):
 
 @pytest.mark.skipif(not HAVE_BOX2D, reason='pybox2d not available')
 @pytest.mark.parametrize('env_name,steps,tol', [
-    ('Dropbox', 25, 0.08),
-    ('Bounce', 50, 0.30),
+    # tolerances pinned ~2x above values measured in PARITY.md (0.027/0.118)
+    ('Dropbox', 25, 0.05),
+    ('Bounce', 50, 0.20),
 ])
 def test_passive_golden(env_name, steps, tol):
   env, ours, theirs = rollout_pair(env_name, steps)
