@@ -14,8 +14,11 @@ from research.rl._base import goal_mode_for
 from research.rl.main import parse
 from research.wrappers import VecEnv
 
-N_ENVS = 10
-ITERS = 100  # 100 iters x 10 envs = 1000 episodes
+# 10 iters x 100 batched on-device envs = the reference's N=1000 protocol
+# (reference ran 100 iters x 10 process-envs; batching wider costs nothing
+# here and cuts host-link round-trips 10x)
+N_ENVS = 100
+ITERS = 10
 
 
 def evaluate(G, get_a):
