@@ -49,6 +49,7 @@ def rl_config():
   _G.steps_per_epoch = 4000
   _G.target_kl = 0.01
   _G.firehose = 0
+  _G.fused_rollout = 1  # one-dispatch on-device PPO epoch rollouts
   return _G
 
 

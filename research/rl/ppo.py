@@ -122,6 +122,81 @@ class PPO(RLAlgo):
     self.key = jnp.asarray(blob['key'])
     print('LOADED PPO', Path(direc) / 'ppo.pkl')
 
+  def _build_fused(self):
+    """One-dispatch epoch rollout: policy + env step + reward scanned on
+    device (VecEnv real-env path only). Removes the per-step host round
+    trips of the reference's loop (ppo.py:128-148) — the buffer/GAE stay on
+    host, fed from one trajectory transfer per epoch."""
+    venv = self.env
+    env = venv.env
+    ac = self.ac
+    G = self.G
+    from boxlcd_tpu.envs.env import Env as _Env
+    gidx = getattr(venv, '_gidx', None)
+    goal_mode = venv.goal_mode
+
+    def net_obs(states, goals):
+      obs = jax.vmap(lambda s: _Env.observe(env, s))(states)
+      d = {G.state_key: obs[G.state_key]}
+      if goal_mode == 'cube':
+        d[self.goal_key] = goals['full_state'][:, gidx]
+      else:
+        d[self.goal_key] = goals['proprio']
+      return d
+
+    def rollout(params, states, goals, key, steps):
+      def body(carry, k):
+        states, goals = carry
+        k1, k2 = jax.random.split(k)
+        o = net_obs(states, goals)
+        mu, std = ac.apply(params, o, method='policy')
+        a = mu + std * jax.random.normal(k1, mu.shape)
+        logp = gaussian_logp(mu, std, a)
+        v = ac.apply(params, o, method='value')
+        keys = jax.random.split(k2, venv.num_envs)
+        states, goals, _, rew, done, _, success, _ = venv._core_step(
+            states, goals, a, keys)
+        return (states, goals), (o, a, rew, v, logp, done, success)
+      (states, goals), traj = jax.lax.scan(body, (states, goals),
+                                           jax.random.split(key, steps))
+      last_v = ac.apply(params, net_obs(states, goals), method='value')
+      return states, goals, traj, last_v
+
+    self._rollout = jax.jit(rollout, static_argnums=4)
+
+  def _run_fused_epoch(self, ep_ret, ep_len):
+    """Collect one epoch on device and feed the host GAE buffer."""
+    G = self.G
+    if self.env.states is None:
+      self.env.reset()
+    self.key, k = jax.random.split(self.key)
+    (self.env.states, self.env.goals, traj, last_v) = self._rollout(
+        self.params, self.env.states, self.env.goals, k,
+        self.steps_per_epoch)
+    o_t, a_t, rew_t, v_t, logp_t, done_t, succ_t = jax.tree_util.tree_map(
+        np.asarray, traj)
+    last_v = np.asarray(last_v)
+    T = self.steps_per_epoch
+    for t in range(T):
+      self.buf.store_n({k2: v[t] for k2, v in o_t.items()},
+                       a_t[t], rew_t[t], v_t[t], logp_t[t])
+      ep_ret += rew_t[t]
+      ep_len += 1
+      epoch_end = t == T - 1
+      for i in range(G.num_envs):
+        if done_t[t][i] or epoch_end:
+          if done_t[t][i]:
+            self.logger['EpRet'] = ep_ret[i]
+            self.logger['EpLen'] = ep_len[i]
+            self.logger['success_rate'] = float(succ_t[t][i])
+            ep_ret[i] = 0
+            ep_len[i] = 0
+            last_val = 0.0
+          else:
+            last_val = float(last_v[i])
+          self.buf.finish_path(i, last_val)
+    return ep_ret, ep_len
+
   def get_av(self, o):
     self.key, k = jax.random.split(self.key)
     return self._step(self.params, self._obs_subset(o), k)
@@ -152,11 +227,25 @@ class PPO(RLAlgo):
   def run(self):
     G = self.G
     epochs = int(G.total_steps) // G.steps_per_epoch
+    fused = (not G.lenv and hasattr(self.env, '_core_step')
+             and bool(G.get('fused_rollout', 1)))
+    if fused:
+      self._build_fused()
     o = self.env.reset()
     ep_ret = np.zeros(G.num_envs)
     ep_len = np.zeros(G.num_envs)
     for epoch in range(epochs):
       ep_start = time.time()
+      if fused:
+        ep_ret, ep_len = self._run_fused_epoch(ep_ret, ep_len)
+        self.update()
+        self.logger['dt/epoch'] = time.time() - ep_start
+        if epoch % G.test_n == 0:
+          self.test_agent(epoch)
+          utils.dump_logger(self.logger, self.writer,
+                            epoch * G.steps_per_epoch, G)
+          self.save(G.logdir)
+        continue
       for t in range(self.steps_per_epoch):
         a, v, logp = self.get_av(o)
         a_np = np.asarray(a)

@@ -124,6 +124,10 @@ class VecEnv:
     self._jit_reset_some = jax.jit(reset_some)
     self._jit_step = jax.jit(step)
     self._sample_goal = sample_goal
+    # pure cores for callers that fuse policy+env into one jitted program
+    # (e.g. PPO's on-device epoch rollout)
+    self._core_step = step
+    self._core_reset_some = reset_some
 
   def _keys(self, n):
     self.key, *ks = jax.random.split(self.key, n + 1)
