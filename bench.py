@@ -40,7 +40,8 @@ REFERENCE_STEPS_PER_SEC = 1700.0  # examples/README.md:33 (CPU, single proc)
 def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
   """steps/s for one config; returns (steps_per_sec, solver_used)."""
   env = boxlcd_tpu.env_map[env_name](
-      {'vel_iters': vel_iters, 'pos_iters': pos_iters})
+      {'vel_iters': vel_iters, 'pos_iters': pos_iters,
+       'raster': os.environ.get('BENCH_RASTER', 'exact')})
   solver = None
   if use_pallas and jax.default_backend() != 'cpu':
     from boxlcd_tpu.engine.pallas_solver import make_batched_solver
@@ -115,6 +116,8 @@ def main():
 
   steps_per_sec, solver_used = measure(env_name, vel, pos, use_pallas, B, T)
   suffix = '_ref_iters' if ref_iters else ''
+  if os.environ.get('BENCH_RASTER', 'exact') != 'exact':
+    suffix += '_fastraster'
   print(json.dumps({
       'metric': f'env_steps_per_sec_{env_name.lower()}_{B}{suffix}',
       'value': round(steps_per_sec, 1),

@@ -171,8 +171,16 @@ class Env:
     full = utils.rmapto(vals, jnp.asarray(s.obs_bounds).T).astype(jnp.float32)
     proprio = (full[jnp.asarray(s.pobs_idxs)] if s.pobs_size
                else jnp.zeros(1, jnp.float32))
-    lcd = raster.lcd_render(s, state.is_circle, state.c, state.a,
-                            self.lcd_w, self.lcd_h)
+    if str(self.G.get('raster', 'exact')) == 'fast':
+      # approximate pixel-center coverage (~96% agreement with PIL): much
+      # cheaper on current XLA-TPU (the exact scanline program hits a
+      # lowering pathology being chased in PROGRESS.md); self-consistent
+      # end-to-end since data/training/serving share the renderer
+      lcd = ~raster.coverage(s, state.is_circle, state.c, state.a,
+                             self.lcd_w, self.lcd_h).any(-1)
+    else:
+      lcd = raster.lcd_render(s, state.is_circle, state.c, state.a,
+                              self.lcd_w, self.lcd_h)
     return {'full_state': full, 'proprio': proprio, 'lcd': lcd}
 
   def step(self, state: physics.WorldState, action):

@@ -157,6 +157,24 @@ def _bits_below(k, width: int):
                    (jnp.uint32(1) << jnp.minimum(k, 31)) - jnp.uint32(1))
 
 
+def _sort_columns(cols):
+  """Sort a static list of (H,) float columns ascending, elementwise.
+
+  Odd-even transposition network: pure min/max compare-exchanges, fully
+  vectorized on the VPU. XLA's sort primitive is dramatically slower on TPU
+  for these tiny lanes (measured: it dominated the whole env step).
+  """
+  cols = list(cols)
+  n = len(cols)
+  for r in range(n):
+    start = r % 2
+    for i in range(start, n - 1, 2):
+      lo = jnp.minimum(cols[i], cols[i + 1])
+      hi = jnp.maximum(cols[i], cols[i + 1])
+      cols[i], cols[i + 1] = lo, hi
+  return cols
+
+
 def _poly_cover(ivx, ivy, nv: int, height: int, width: int):
   """(H, W) bool coverage of the integer-vertex polygon, PIL rules."""
   out = _poly_fill(ivx, ivy, nv, height, width)
@@ -173,7 +191,6 @@ def _poly_fill(ivx, ivy, nv: int, height: int, width: int):
   rows = jnp.arange(height, dtype=jnp.int32)            # (H,)
   cols = jnp.arange(width, dtype=jnp.float32)           # (W,)
   S = 2 * nv + 2
-  iota = jnp.arange(S, dtype=jnp.int32)
 
   gymax = jnp.minimum(jnp.max(ivy), height)
 
@@ -199,19 +216,21 @@ def _poly_fill(ivx, ivy, nv: int, height: int, width: int):
   def edge_x(k, y):
     return _muladd((y - eymin[k]).astype(jnp.float32), edx[k], ex0[k])
 
-  xx = jnp.full((height, S), _INF)
+  xx = [jnp.full(height, _INF) for _ in range(S)]
   j = jnp.zeros(height, jnp.int32)
+
+  def write(cols, pos, cond, val):
+    return [jnp.where(cond & (pos == s), val, cols[s]) for s in range(S)]
+
   for i in range(nv):
     inr = (~ehoriz[i]) & (rows >= eymin[i]) & (rows <= eymax[i])   # (H,)
     cur_x = edge_x(i, rows)                                         # (H,)
-    xx = jnp.where(inr[:, None] & (iota[None] == j[:, None]),
-                   cur_x[:, None], xx)
+    xx = write(xx, j, inr, cur_x)
     at_ymax = inr & (rows == eymax[i])
     at_ymin = inr & (rows == eymin[i])
     dbl = at_ymax & (rows < gymax)
     j1 = j + inr
-    xx = jnp.where(dbl[:, None] & (iota[None] == j1[:, None]),
-                   cur_x[:, None], xx)
+    xx = write(xx, j1, dbl, cur_x)
     # corner-connection fix-up (Draw.c: only at an endpoint row; at ymax only
     # on the clipped bottom row, where the doubling branch doesn't run)
     if i > 0:
@@ -235,19 +254,19 @@ def _poly_fill(ivx, ivy, nv: int, height: int, width: int):
       fixv = jnp.where(hi, _roundf(jnp.maximum(adj, adj_o)) + 1,
                        _roundf(jnp.minimum(adj, adj_o)) - 1)
       apply = elig & found & (hi | lo)
-      xx = jnp.where(apply[:, None] & (iota[None] == j[:, None]),
-                     fixv[:, None], xx)
+      xx = write(xx, j, apply, fixv)
     j = j1 + dbl
 
-  xs = jnp.sort(jnp.where(iota[None] < j[:, None], xx, _INF), axis=-1)
+  xs_cols = _sort_columns(
+      [jnp.where(s < j, xx[s], _INF) for s in range(S)])
   if width <= 32:
     # bitmask span fill: one row = one uint32, O(pairs) int ops per row
     # instead of O(pairs*W) comparisons — identical output by construction
     mask = jnp.zeros(height, jnp.uint32)
     for p in range(S // 2):
       valid = j >= 2 * p + 2                                        # (H,)
-      a = _x_start(xs[:, 2 * p])
-      b = _x_end(xs[:, 2 * p + 1])
+      a = _x_start(xs_cols[2 * p])
+      b = _x_end(xs_cols[2 * p + 1])
       mask = mask | _span_bits(a, b, valid, width)
     for i in range(nv):
       xmin = jnp.minimum(ivx[i], ivx[(i + 1) % nv]).astype(jnp.float32)
@@ -258,8 +277,8 @@ def _poly_fill(ivx, ivy, nv: int, height: int, width: int):
   cov = jnp.zeros((height, width), bool)
   for p in range(S // 2):
     valid = j >= 2 * p + 2                                          # (H,)
-    a = _x_start(xs[:, 2 * p])
-    b = _x_end(xs[:, 2 * p + 1])
+    a = _x_start(xs_cols[2 * p])
+    b = _x_end(xs_cols[2 * p + 1])
     cov = cov | (valid[:, None] & (cols[None] >= a[:, None])
                  & (cols[None] <= b[:, None]))
   # horizontal edges are hlined directly (ImagingDrawPolygon first loop)
