@@ -91,10 +91,12 @@ def test_video_evaluate_protocol(env):
                                    lcd_base=env.G.lcd_base, window=4))
   batch = fake_batch(env, G, B=8, T=6)
   m = model.evaluate(None, batch, 0, arbiter=arbiter)
+  # Dropbox is passive: the proprio log-MSE metric is correctly absent
+  assert 'eval/prompted_proprio_log_mse' not in m
   for k in ['eval/unprompted_fvd', 'eval/unprompted_action_log_mse',
             'eval/unprompted_precision', 'eval/unprompted_recall',
             'eval/unprompted_f1', 'eval/prompted_lcd_ssim',
-            'eval/prompted_lcd_psnr', 'eval/prompted_proprio_log_mse',
+            'eval/prompted_lcd_psnr',
             'eval/prompted_action_log_mse',
             'eval/prompted_true_action_log_mse', 'eval/prompted_cosdist']:
     assert k in m, f'missing metric {k}'
