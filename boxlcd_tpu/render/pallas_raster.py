@@ -1,0 +1,123 @@
+"""Pallas TPU kernel for the pixel-exact LCD rasterizer.
+
+The exact scanline rasterizer (render/raster.py) is bit-identical to PIL's
+output (the reference's backend, boxLCD/world_env.py:460-512) but its XLA
+lowering hits a TPU fusion/lowering pathology: ~19 ms/step for 4096 worlds,
+~1000x slower than its op count justifies (PROGRESS.md, round 2). This
+module moves the polygon scanline fill — the pathological stage — into a
+Pallas kernel with worlds on the LANE axis and LCD rows on the sublane axis,
+so every step of Pillow's polygon_generic becomes an (H, 128) VPU tile op
+with no fusion decisions left to XLA.
+
+The kernel body calls the SAME `raster._poly_fill` code the XLA/CPU path
+uses (it is shape-polymorphic over a lane axis), so bit-exactness vs PIL
+(tests/test_raster.py) is preserved by construction.
+
+Cheap, non-pathological stages stay in XLA where they were measured fast
+(PROGRESS.md bisection): float32 vertex transform (258M steps/s), ellipse
+table gathers, uint32 bit unpack + vertical flip.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from boxlcd_tpu.engine.spec import CIRCLE, POLY, WorldSpec
+
+LANE = 128  # worlds per kernel program (one vreg lane width)
+
+_CACHE = {}
+
+
+def make_batched_render(spec: WorldSpec, width: int, height: int,
+                        interpret: bool = False):
+  """Batched exact LCD render: (B,N) is_circle, (B,N,2) c, (B,N) angle ->
+  (B, H, W) bool frames, bit-identical to vmapped raster.lcd_render."""
+  key = (id(spec), width, height, interpret)
+  if key not in _CACHE:
+    _CACHE[key] = _build(spec, width, height, interpret)
+  return _CACHE[key]
+
+
+def _build(spec: WorldSpec, width: int, height: int, interpret: bool):
+  from boxlcd_tpu.render import raster
+
+  _, tblbits = raster._tables(spec, width, height)
+  assert tblbits is not None and width <= 32, \
+      'pallas raster requires the uint32 row-bitmask layout (W<=32)'
+  poly_bodies = [b for b in range(spec.n)
+                 if int(spec.shape_static[b]) != CIRCLE]
+  circ_bodies = [b for b in range(spec.n)
+                 if int(spec.shape_static[b]) != POLY]
+  nv_list = [int(spec.nverts[b]) for b in poly_bodies]
+  P = len(poly_bodies)
+  V = max(nv_list) if nv_list else 1
+  H = height
+  tblbits_j = jnp.asarray(tblbits)
+  s = jnp.float32(width / spec.width)
+
+  def kernel(ivx_ref, ivy_ref, gate_ref, circ_ref, out_ref):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+    out = circ_ref[:, :]                               # (H, LANE) uint32
+    for pi in range(P):
+      nv = nv_list[pi]
+      ivx = [ivx_ref[pi, v:v + 1, :] for v in range(nv)]   # (1, LANE) each
+      ivy = [ivy_ref[pi, v:v + 1, :] for v in range(nv)]
+      mask = raster._poly_fill(ivx, ivy, nv, H, width, rows=rows)
+      gate = gate_ref[pi:pi + 1, :] != 0
+      out = out | jnp.where(gate, mask, np.uint32(0))
+    out_ref[:, :] = out
+
+  def render(is_circle, c, angle):
+    B = c.shape[0]
+    cosa = jnp.cos(angle).astype(jnp.float32)
+    sina = jnp.sin(angle).astype(jnp.float32)
+    # circles: gated OR of tabulated PIL ellipse row masks (XLA gathers)
+    circ = jnp.zeros((B, H), jnp.uint32)
+    for b in circ_bodies:
+      r = jnp.float32(spec.radius[b])
+      fill = jax.vmap(lambda cx, cy: raster._circle_fill(
+          tblbits_j, cx, cy, r, s, H, width))(c[:, b, 0], c[:, b, 1])
+      circ = circ | jnp.where(is_circle[:, b, None], fill, jnp.uint32(0))
+    if P:
+      ivx = jnp.zeros((B, P, V), jnp.int32)
+      ivy = jnp.zeros((B, P, V), jnp.int32)
+      for pi, b in enumerate(poly_bodies):
+        vx, vy = raster._poly_verts_px_batch(spec, c, cosa, sina, s, b)
+        ivx = ivx.at[:, pi, :nv_list[pi]].set(vx)
+        ivy = ivy.at[:, pi, :nv_list[pi]].set(vy)
+      gate = (~is_circle[:, np.asarray(poly_bodies)]).astype(jnp.int32)
+      pad = (-B) % LANE
+      Bp = B + pad
+
+      def prep(x):  # (B, *S) -> (*S, Bp), worlds last (lane axis)
+        if pad:
+          x = jnp.concatenate(
+              [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+        return jnp.moveaxis(x, 0, -1)
+
+      lane_spec = lambda *lead: pl.BlockSpec(
+          (*lead, LANE), lambda g, nl=len(lead): (0,) * nl + (g,),
+          memory_space=pltpu.VMEM)
+      mask = pl.pallas_call(
+          kernel,
+          grid=(Bp // LANE,),
+          in_specs=[lane_spec(P, V), lane_spec(P, V), lane_spec(P),
+                    lane_spec(H)],
+          out_specs=lane_spec(H),
+          out_shape=jax.ShapeDtypeStruct((H, Bp), jnp.uint32),
+          interpret=interpret,
+      )(prep(ivx), prep(ivy), prep(gate), prep(circ))
+      mask = jnp.moveaxis(mask, -1, 0)[:B]              # (B, H)
+    else:
+      mask = circ
+    bitcols = jnp.arange(width, dtype=jnp.uint32)
+    img = ((mask[:, :, None] >> bitcols) & jnp.uint32(1)).astype(bool)
+    return ~img[:, ::-1]                                # PIL FLIP_TOP_BOTTOM
+
+  return render

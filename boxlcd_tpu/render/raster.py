@@ -34,7 +34,11 @@ from jax import lax
 from boxlcd_tpu.engine import collision
 from boxlcd_tpu.engine.spec import WorldSpec, CIRCLE, POLY
 
-_INF = jnp.float32(np.inf)
+# numpy scalars (not jnp: jax arrays would be captured consts in the Pallas
+# raster kernel, which calls into this module's fill code)
+_INF = np.float32(np.inf)
+_U0 = np.uint32(0)
+_U1 = np.uint32(1)
 
 
 def _f32(t):
@@ -45,7 +49,7 @@ def _f32(t):
   multiply into a following add as an FMA — a single rounding — and flip
   pixels at span boundaries. The no-op select blocks the contraction.
   """
-  return jnp.where(jnp.isnan(t), jnp.float32(0), t)
+  return jnp.where(jnp.isnan(t), np.float32(0), t)
 
 
 def _muladd(a, b, c):
@@ -146,15 +150,16 @@ def _span_bits(a_f, b_f, valid, width: int):
   ok = valid & (a < b)
   lo = _bits_below(a, width)
   hi = _bits_below(b, width)
-  return jnp.where(ok, hi & ~lo, jnp.uint32(0))
+  return jnp.where(ok, hi & ~lo, _U0)
 
 
 def _bits_below(k, width: int):
   """uint32 with bits [0, k) set; k in [0, W], W <= 32."""
-  k = k.astype(jnp.uint32)
-  full = jnp.uint32(0xFFFFFFFF if width >= 32 else (1 << width) - 1)
-  return jnp.where(k >= width, full,
-                   (jnp.uint32(1) << jnp.minimum(k, 31)) - jnp.uint32(1))
+  k = k.astype(jnp.int32)
+  full = np.uint32(0xFFFFFFFF if width >= 32 else (1 << width) - 1)
+  # clamp in int32 (Mosaic has no unsigned vector min), shift in uint32
+  kc = jnp.minimum(k, np.int32(31)).astype(jnp.uint32)
+  return jnp.where(k >= width, full, (_U1 << kc) - _U1)
 
 
 def _sort_columns(cols):
@@ -181,18 +186,27 @@ def _poly_cover(ivx, ivy, nv: int, height: int, width: int):
   return _unpack_bits(out, width) if out.dtype == jnp.uint32 else out
 
 
-def _poly_fill(ivx, ivy, nv: int, height: int, width: int):
+def _poly_fill(ivx, ivy, nv: int, height: int, width: int, rows=None):
   """(H,) uint32 row bitmasks (W<=32) or (H, W) bool, PIL fill rules.
 
-  ivx/ivy: (nv,) traced int32 vertex coords (already truncated). nv static.
-  Mirrors libImaging/Draw.c polygon_generic + the horizontal-edge hlines of
+  ivx/ivy: (nv,) traced int32 vertex coords (already truncated), or any
+  [i]-indexable yielding values that broadcast against `rows` (the Pallas
+  raster kernel passes lists of (1, LANE) lane vectors with rows (H, 1),
+  making every op below an (H, LANE) VPU tile op). nv static. Mirrors
+  libImaging/Draw.c polygon_generic + the horizontal-edge hlines of
   ImagingDrawPolygon.
   """
-  rows = jnp.arange(height, dtype=jnp.int32)            # (H,)
+  if rows is None:
+    rows = jnp.arange(height, dtype=jnp.int32)          # (H,)
   cols = jnp.arange(width, dtype=jnp.float32)           # (W,)
+  ivx = [ivx[i] for i in range(nv)]
+  ivy = [ivy[i] for i in range(nv)]
   S = 2 * nv + 2
 
-  gymax = jnp.minimum(jnp.max(ivy), height)
+  vymax = ivy[0]
+  for i in range(1, nv):
+    vymax = jnp.maximum(vymax, ivy[i])
+  gymax = jnp.minimum(vymax, height)
 
   # static-unrolled edge table (non-horizontal edges keep polygon order)
   ex0, ey0, eymin, eymax, edx, ehoriz = [], [], [], [], [], []
@@ -216,8 +230,8 @@ def _poly_fill(ivx, ivy, nv: int, height: int, width: int):
   def edge_x(k, y):
     return _muladd((y - eymin[k]).astype(jnp.float32), edx[k], ex0[k])
 
-  xx = [jnp.full(height, _INF) for _ in range(S)]
-  j = jnp.zeros(height, jnp.int32)
+  xx = [jnp.full(rows.shape, _INF) for _ in range(S)]
+  j = jnp.zeros(rows.shape, jnp.int32)
 
   def write(cols, pos, cond, val):
     return [jnp.where(cond & (pos == s), val, cols[s]) for s in range(S)]
@@ -239,8 +253,8 @@ def _poly_fill(ivx, ivy, nv: int, height: int, width: int):
       adj_y = rows + offset
       adj = edge_x(i, adj_y)
       cur_r = _roundf(cur_x)
-      found = jnp.zeros(height, bool)
-      adj_o = jnp.zeros(height, jnp.float32)
+      found = jnp.zeros(rows.shape, bool)
+      adj_o = jnp.zeros(rows.shape, jnp.float32)
       for k in range(i):
         ok = ((~ehoriz[k])
               & ((rows == eymin[k]) | (rows == eymax[k]))
@@ -262,7 +276,7 @@ def _poly_fill(ivx, ivy, nv: int, height: int, width: int):
   if width <= 32:
     # bitmask span fill: one row = one uint32, O(pairs) int ops per row
     # instead of O(pairs*W) comparisons — identical output by construction
-    mask = jnp.zeros(height, jnp.uint32)
+    mask = jnp.zeros(rows.shape, jnp.uint32)
     for p in range(S // 2):
       valid = j >= 2 * p + 2                                        # (H,)
       a = _x_start(xs_cols[2 * p])
@@ -348,6 +362,25 @@ def _poly_verts_px(spec, c, cosa, sina, s, b):
   return ivx, ivy, nv
 
 
+def _poly_verts_px_batch(spec, c, cosa, sina, s, b):
+  """Batched _poly_verts_px: c (B, N, 2), cosa/sina (B, N) -> (B, nv) int32.
+
+  Identical float32 op order per element (b2Mul products rounded before the
+  adds), so the truncated pixel vertices match the single-world path bitwise.
+  """
+  nv = int(spec.nverts[b])
+  dv = jnp.asarray(spec.draw_verts[b, :nv], jnp.float32)            # (nv, 2)
+  lc = jnp.asarray(spec.local_center[b, 1], jnp.float32)            # (2,)
+  ca = cosa[:, b, None]
+  sa = sina[:, b, None]
+  ox = c[:, b, 0, None] - _muladd(ca, lc[0], -_f32(sa * lc[1]))
+  oy = c[:, b, 1, None] - _muladd(sa, lc[0], _f32(ca * lc[1]))
+  wx = _f32(_muladd(ca, dv[None, :, 0], -_f32(sa * dv[None, :, 1]))) + ox
+  wy = _f32(_muladd(sa, dv[None, :, 0], _f32(ca * dv[None, :, 1]))) + oy
+  return (jnp.trunc(wx * s).astype(jnp.int32),
+          jnp.trunc(wy * s).astype(jnp.int32))
+
+
 def _body_fills(spec, is_circle, c, angle, width, height, bits):
   """Per-body coverage in the PIL (unflipped) frame: a list of (H,) uint32
   row bitmasks (bits=True, W<=32) or (H, W) bools."""
@@ -389,13 +422,8 @@ def exact_cover(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
   return cov[::-1]  # PIL FLIP_TOP_BOTTOM (world_env.py:506)
 
 
-def lcd_render(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
-  """Binarized frame, (H, W) bool, background True (one world; vmap outside).
-
-  Bitwise-equal to the reference `WorldEnv.lcd_render(mode='1')` given the
-  same body poses (reference: boxLCD/world_env.py:460-512). For W<=32 the
-  whole union is computed as one uint32 bitmask per row and unpacked once.
-  """
+def _lcd_render_single(spec, is_circle, c, angle, width: int, height: int):
+  """One-world exact render (the pure-XLA scanline path)."""
   if width <= 32 and _tables(spec, width, height)[1] is not None:
     fills = _body_fills(spec, is_circle, c, angle, width, height, bits=True)
     mask = fills[0]
@@ -403,6 +431,52 @@ def lcd_render(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
       mask = mask | f
     return ~_unpack_bits(mask, width)[::-1]
   return ~exact_cover(spec, is_circle, c, angle, width, height).any(-1)
+
+
+_RENDER_FNS = {}
+
+
+def _lcd_render_fn(spec: WorldSpec, width: int, height: int):
+  """custom_vmap wrapper: vmapping over worlds dispatches to the Pallas
+  scanline kernel on TPU (render/pallas_raster.py) and to plain jax.vmap of
+  the XLA path on CPU — bit-identical either way."""
+  import jax
+
+  key = (id(spec), width, height)
+  if key in _RENDER_FNS:
+    return _RENDER_FNS[key]
+
+  def single(ic, c, a):
+    return _lcd_render_single(spec, ic, c, a, width, height)
+
+  fn = jax.custom_batching.custom_vmap(single)
+
+  @fn.def_vmap
+  def rule(axis_size, in_batched, ic, c, a):
+    ic, c, a = [x if bb else jnp.broadcast_to(x, (axis_size, *x.shape))
+                for x, bb in zip((ic, c, a), in_batched)]
+    if (jax.default_backend() != 'cpu' and width <= 32 and c.ndim == 3
+        and _tables(spec, width, height)[1] is not None):
+      from boxlcd_tpu.render.pallas_raster import make_batched_render
+      out = make_batched_render(spec, width, height)(ic, c, a)
+    else:
+      out = jax.vmap(single)(ic, c, a)
+    return out, True
+
+  _RENDER_FNS[key] = fn
+  return fn
+
+
+def lcd_render(spec: WorldSpec, is_circle, c, angle, width: int, height: int):
+  """Binarized frame, (H, W) bool, background True (one world; vmap outside).
+
+  Bitwise-equal to the reference `WorldEnv.lcd_render(mode='1')` given the
+  same body poses (reference: boxLCD/world_env.py:460-512). For W<=32 the
+  whole union is computed as one uint32 bitmask per row and unpacked once.
+  Under `jax.vmap` on TPU this dispatches to the Pallas scanline kernel
+  (render/pallas_raster.py); output is bit-identical on every path.
+  """
+  return _lcd_render_fn(spec, width, height)(is_circle, c, angle)
 
 
 # -- approximate RGB render (human viz only) -------------------------------------

@@ -112,6 +112,29 @@ def test_circle_kernel_matches_pil():
         f'circle mismatch: c=({cx[i]},{cy[i]}) r={r[i]}'
 
 
+@pytest.mark.parametrize('env_name', ['Urchin', 'Object3'])
+def test_pallas_raster_matches_xla(env_name):
+  """The Pallas scanline kernel (interpret mode on CPU) is bit-identical to
+  the vmapped XLA exact path — same _poly_fill code, different lowering."""
+  from boxlcd_tpu.engine import physics
+  from boxlcd_tpu.render.pallas_raster import make_batched_render
+  env = env_map[env_name]({})
+  spec = env.spec
+  B = 96  # pads to one 128-lane program
+  keys = jax.random.split(jax.random.PRNGKey(3), B)
+  states = jax.vmap(lambda k: Env.reset(env, k))(keys)
+  acts = jax.random.uniform(jax.random.PRNGKey(4), (B, env.act_size),
+                            minval=-1, maxval=1)
+  states = jax.jit(lambda s, a: physics.step_world_batch(spec, s, a))(
+      states, acts)
+  ref = jax.jit(jax.vmap(lambda ic, c, a: raster._lcd_render_single(
+      spec, ic, c, a, env.lcd_w, env.lcd_h)))(
+          states.is_circle, states.c, states.a)
+  got = make_batched_render(spec, env.lcd_w, env.lcd_h, interpret=True)(
+      states.is_circle, states.c, states.a)
+  assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
 def _pil_scene_render(spec, is_circle, c, cossin, width, height):
   """Oracle: PIL draws with the same float32 pixel inputs our kernel uses.
 
