@@ -24,7 +24,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from boxlcd_tpu.engine.physics import SolveBundle
+from boxlcd_tpu.engine.physics import SolveBundle, _block_lcp
 from boxlcd_tpu.engine.spec import WorldSpec
 
 SUB, LANE = 8, 128
@@ -63,8 +63,10 @@ def _make_kernel(spec: WorldSpec):
              inv_m_ref, inv_i_ref, j_rA_ref, j_rB_ref, j_axm_ref,
              j_state_ref, j_mA_ref, j_mB_ref, j_iA_ref, j_iB_ref, ms_ref,
              w_rB_ref, w_nm_ref, w_tm_ref, w_bias_ref, w_mu_ref,
+             w_k_ref, w_k12_ref, w_blk_ref,
              p_n_ref, p_rA_ref, p_rB_ref, p_nm_ref, p_tm_ref, p_bias_ref,
              p_mu_ref, p_imA_ref, p_imB_ref, p_iiA_ref, p_iiB_ref,
+             p_k_ref, p_k12_ref, p_blk_ref,
              v_out, w_out, j_imp_out, j_mot_out, j_lim_out, wc_out, pc_out):
     # mutable state as flat tuples of (8, 128) tiles
     vx0 = tuple(v_ref[i, 0] for i in range(n))
@@ -132,16 +134,16 @@ def _make_kernel(spec: WorldSpec):
         vy[ch] = vy[ch] + mB * py
         om[pa] = om[pa] - iA * (rAx * py - rAy * px)
         om[ch] = om[ch] + iB * (rBx * py - rBy * px)
-      # ---- wall contacts ----------------------------------------------------
+      # ---- wall contacts (Box2D order: friction both points, then the
+      # normal pair as a 2x2 block or sequentially) -------------------------
       for wi in range(nw):
         nx, ny = float(wall_n[wi, 0]), float(wall_n[wi, 1])
         tx, ty = ny, -nx
-        for k in range(2):
-          for i in range(n):
+        for i in range(n):
+          im, ii = inv_m_ref[i], inv_i_ref[i]
+          for k in range(2):  # friction
             s = wslot(i, wi, k)
-            im, ii = inv_m_ref[i], inv_i_ref[i]
             rBx, rBy = w_rB_ref[i, wi, k, 0], w_rB_ref[i, wi, k, 1]
-            # friction
             dvx = vx[i] - om[i] * rBy
             dvy = vy[i] + om[i] * rBx
             vt = dvx * tx + dvy * ty
@@ -153,24 +155,47 @@ def _make_kernel(spec: WorldSpec):
             vx[i] = vx[i] + im * d * tx
             vy[i] = vy[i] + im * d * ty
             om[i] = om[i] + ii * (rBx * d * ty - rBy * d * tx)
-            # normal
-            dvx = vx[i] - om[i] * rBy
-            dvy = vy[i] + om[i] * rBx
-            vn = dvx * nx + dvy * ny
+          # normal
+          s1, s2 = wslot(i, wi, 0), wslot(i, wi, 1)
+          rB1x, rB1y = w_rB_ref[i, wi, 0, 0], w_rB_ref[i, wi, 0, 1]
+          rB2x, rB2y = w_rB_ref[i, wi, 1, 0], w_rB_ref[i, wi, 1, 1]
+          a1, a2 = wcn[s1], wcn[s2]
+          # sequential candidate
+          vxs, vys, oms = vx[i], vy[i], om[i]
+          d_seq = []
+          for k, (rBx, rBy, acc) in enumerate(
+              ((rB1x, rB1y, a1), (rB2x, rB2y, a2))):
+            vn = (vxs - oms * rBy) * nx + (vys + oms * rBx) * ny
             lam = -w_nm_ref[i, wi, k] * (vn - w_bias_ref[i, wi, k])
-            new = jnp.maximum(wcn[s] + lam, 0.0)
-            d = new - wcn[s]
-            wcn[s] = new
-            vx[i] = vx[i] + im * d * nx
-            vy[i] = vy[i] + im * d * ny
-            om[i] = om[i] + ii * (rBx * d * ny - rBy * d * nx)
-      # ---- pair contacts ------------------------------------------------------
+            new = jnp.maximum(acc + lam, 0.0)
+            dk = new - acc
+            d_seq.append(dk)
+            vxs = vxs + im * dk * nx
+            vys = vys + im * dk * ny
+            oms = oms + ii * (rBx * dk * ny - rBy * dk * nx)
+          # block candidate
+          vn1 = (vx[i] - om[i] * rB1y) * nx + (vy[i] + om[i] * rB1x) * ny
+          vn2 = (vx[i] - om[i] * rB2y) * nx + (vy[i] + om[i] * rB2x) * ny
+          d1b, d2b = _block_lcp(
+              vn1 - w_bias_ref[i, wi, 0], vn2 - w_bias_ref[i, wi, 1],
+              a1, a2, w_k_ref[i, wi, 0], w_k_ref[i, wi, 1], w_k12_ref[i, wi],
+              w_nm_ref[i, wi, 0], w_nm_ref[i, wi, 1])
+          blk = w_blk_ref[i, wi] > 0.5
+          d1 = jnp.where(blk, d1b, d_seq[0])
+          d2 = jnp.where(blk, d2b, d_seq[1])
+          vx[i] = vx[i] + im * (d1 + d2) * nx
+          vy[i] = vy[i] + im * (d1 + d2) * ny
+          om[i] = om[i] + ii * ((rB1x * ny - rB1y * nx) * d1
+                                + (rB2x * ny - rB2y * nx) * d2)
+          wcn[s1] = a1 + d1
+          wcn[s2] = a2 + d2
+      # ---- pair contacts (same Box2D order as walls) ----------------------
       for p, a_i, b_i in pairs:
         nx, ny = p_n_ref[p, 0], p_n_ref[p, 1]
         tx, ty = ny, -nx
         imA, imB = p_imA_ref[p], p_imB_ref[p]
         iA, iB = p_iiA_ref[p], p_iiB_ref[p]
-        for k in range(2):
+        for k in range(2):  # friction
           s = p * 2 + k
           rAx, rAy = p_rA_ref[p, k, 0], p_rA_ref[p, k, 1]
           rBx, rBy = p_rB_ref[p, k, 0], p_rB_ref[p, k, 1]
@@ -189,20 +214,58 @@ def _make_kernel(spec: WorldSpec):
           vy[b_i] = vy[b_i] + imB * py
           om[a_i] = om[a_i] - iA * (rAx * py - rAy * px)
           om[b_i] = om[b_i] + iB * (rBx * py - rBy * px)
-          dvx = vx[b_i] - om[b_i] * rBy - (vx[a_i] - om[a_i] * rAy)
-          dvy = vy[b_i] + om[b_i] * rBx - (vy[a_i] + om[a_i] * rAx)
-          vn = dvx * nx + dvy * ny
+        # normal
+        s1, s2 = p * 2, p * 2 + 1
+        rA1x, rA1y = p_rA_ref[p, 0, 0], p_rA_ref[p, 0, 1]
+        rB1x, rB1y = p_rB_ref[p, 0, 0], p_rB_ref[p, 0, 1]
+        rA2x, rA2y = p_rA_ref[p, 1, 0], p_rA_ref[p, 1, 1]
+        rB2x, rB2y = p_rB_ref[p, 1, 0], p_rB_ref[p, 1, 1]
+        a1, a2 = pcn[s1], pcn[s2]
+
+        def rel_vn(vxa, vya, oma, vxb, vyb, omb, rAx, rAy, rBx, rBy):
+          dvx = vxb - omb * rBy - (vxa - oma * rAy)
+          dvy = vyb + omb * rBx - (vya + oma * rAx)
+          return dvx * nx + dvy * ny
+
+        # sequential candidate
+        sa = (vx[a_i], vy[a_i], om[a_i])
+        sb = (vx[b_i], vy[b_i], om[b_i])
+        d_seq = []
+        for k, (rAx, rAy, rBx, rBy, acc) in enumerate(
+            ((rA1x, rA1y, rB1x, rB1y, a1), (rA2x, rA2y, rB2x, rB2y, a2))):
+          vn = rel_vn(*sa, *sb, rAx, rAy, rBx, rBy)
           lam = -p_nm_ref[p, k] * (vn - p_bias_ref[p, k])
-          new = jnp.maximum(pcn[s] + lam, 0.0)
-          d = new - pcn[s]
-          pcn[s] = new
-          px, py = d * nx, d * ny
-          vx[a_i] = vx[a_i] - imA * px
-          vy[a_i] = vy[a_i] - imA * py
-          vx[b_i] = vx[b_i] + imB * px
-          vy[b_i] = vy[b_i] + imB * py
-          om[a_i] = om[a_i] - iA * (rAx * py - rAy * px)
-          om[b_i] = om[b_i] + iB * (rBx * py - rBy * px)
+          new = jnp.maximum(acc + lam, 0.0)
+          dk = new - acc
+          d_seq.append(dk)
+          px, py = dk * nx, dk * ny
+          sa = (sa[0] - imA * px, sa[1] - imA * py,
+                sa[2] - iA * (rAx * py - rAy * px))
+          sb = (sb[0] + imB * px, sb[1] + imB * py,
+                sb[2] + iB * (rBx * py - rBy * px))
+        # block candidate
+        vn1 = rel_vn(vx[a_i], vy[a_i], om[a_i], vx[b_i], vy[b_i], om[b_i],
+                     rA1x, rA1y, rB1x, rB1y)
+        vn2 = rel_vn(vx[a_i], vy[a_i], om[a_i], vx[b_i], vy[b_i], om[b_i],
+                     rA2x, rA2y, rB2x, rB2y)
+        d1b, d2b = _block_lcp(
+            vn1 - p_bias_ref[p, 0], vn2 - p_bias_ref[p, 1], a1, a2,
+            p_k_ref[p, 0], p_k_ref[p, 1], p_k12_ref[p],
+            p_nm_ref[p, 0], p_nm_ref[p, 1])
+        blk = p_blk_ref[p] > 0.5
+        d1 = jnp.where(blk, d1b, d_seq[0])
+        d2 = jnp.where(blk, d2b, d_seq[1])
+        px, py = (d1 + d2) * nx, (d1 + d2) * ny
+        vx[a_i] = vx[a_i] - imA * px
+        vy[a_i] = vy[a_i] - imA * py
+        vx[b_i] = vx[b_i] + imB * px
+        vy[b_i] = vy[b_i] + imB * py
+        om[a_i] = om[a_i] - iA * ((rA1x * ny - rA1y * nx) * d1
+                                  + (rA2x * ny - rA2y * nx) * d2)
+        om[b_i] = om[b_i] + iB * ((rB1x * ny - rB1y * nx) * d1
+                                  + (rB2x * ny - rB2y * nx) * d2)
+        pcn[s1] = a1 + d1
+        pcn[s2] = a2 + d2
       return tuple(tuple(c) for c in
                    (vx, vy, om, jix, jiy, jm, jl, wcn, wct, pcn, pct))
 
@@ -238,8 +301,10 @@ _IN_FIELDS = ['v', 'w', 'j_imp', 'j_mot', 'j_lim', 'wc', 'pc',
               'inv_m', 'inv_i', 'j_rA', 'j_rB', 'j_axmass', 'j_state',
               'j_mA', 'j_mB', 'j_iA', 'j_iB', 'motor_speed',
               'w_rB', 'w_nmass', 'w_tmass', 'w_bias', 'w_mu',
+              'w_k', 'w_k12', 'w_block',
               'p_n', 'p_rA', 'p_rB', 'p_nmass', 'p_tmass', 'p_bias',
-              'p_mu', 'p_imA', 'p_imB', 'p_iiA', 'p_iiB']
+              'p_mu', 'p_imA', 'p_imB', 'p_iiA', 'p_iiB',
+              'p_k', 'p_k12', 'p_block']
 _OUT_FIELDS = ['v', 'w', 'j_imp', 'j_mot', 'j_lim', 'wc', 'pc']
 
 
@@ -254,6 +319,8 @@ def make_batched_solver(spec: WorldSpec, interpret: bool = False):
     Bp = B + pad
 
     def prep(x):
+      if x.dtype == jnp.bool_:
+        x = x.astype(jnp.float32)  # Mosaic tiles want numeric dtypes
       if pad:
         x = jnp.concatenate(
             [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)

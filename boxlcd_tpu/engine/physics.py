@@ -51,6 +51,41 @@ def perp(n):
   return jnp.stack([n[..., 1], -n[..., 0]], axis=-1)
 
 
+def _block_lcp(b1, b2, a1, a2, k11, k22, k12, nm1, nm2):
+  """Box2D's 2-point normal block solve: the 2x2 LCP case enumeration from
+  b2ContactSolver::SolveVelocityConstraints. b1/b2 are the biased relative
+  normal velocities at the two points, a1/a2 the accumulated impulses, K the
+  2-point effective-mass matrix, nm1/nm2 the per-point normal masses.
+  Returns impulse deltas (d1, d2); if no case holds, Box2D leaves the
+  impulses unchanged (delta 0). All math is elementwise (any batch shape).
+  """
+  # b' = b - K a
+  b1p = b1 - (k11 * a1 + k12 * a2)
+  b2p = b2 - (k12 * a1 + k22 * a2)
+  det = k11 * k22 - k12 * k12
+  idet = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det),
+                   0.0)
+  # case 1: both points active -> x = -K^-1 b'
+  x1_1 = -(k22 * b1p - k12 * b2p) * idet
+  x2_1 = -(k11 * b2p - k12 * b1p) * idet
+  ok1 = (x1_1 >= 0.0) & (x2_1 >= 0.0)
+  # case 2: point 2 inactive
+  x1_2 = -nm1 * b1p
+  ok2 = (x1_2 >= 0.0) & (k12 * x1_2 + b2p >= 0.0)
+  # case 3: point 1 inactive
+  x2_3 = -nm2 * b2p
+  ok3 = (x2_3 >= 0.0) & (k12 * x2_3 + b1p >= 0.0)
+  # case 4: both inactive
+  ok4 = (b1p >= 0.0) & (b2p >= 0.0)
+  x1 = jnp.where(ok1, x1_1,
+                 jnp.where(ok2, x1_2,
+                           jnp.where(ok3, 0.0, jnp.where(ok4, 0.0, a1))))
+  x2 = jnp.where(ok1, x2_1,
+                 jnp.where(ok2, 0.0,
+                           jnp.where(ok3, x2_3, jnp.where(ok4, 0.0, a2))))
+  return x1 - a1, x2 - a2
+
+
 class WorldState(NamedTuple):
   """Dynamic state of one world (vmap over a leading axis for batches)."""
   c: jnp.ndarray          # (N, 2) world center-of-mass positions
@@ -156,6 +191,9 @@ class SolveBundle(NamedTuple):
   w_tmass: jnp.ndarray    # (N, W, 2)
   w_bias: jnp.ndarray     # (N, W, 2)
   w_mu: jnp.ndarray       # (N,)
+  w_k: jnp.ndarray        # (N, W, 2) raw normal-direction effective masses k11,k22
+  w_k12: jnp.ndarray      # (N, W) off-diagonal of the 2-point K matrix
+  w_block: jnp.ndarray    # (N, W) bool: solve both points as a 2x2 block
   p_n: jnp.ndarray        # (P, 2)
   p_rA: jnp.ndarray       # (P, 2, 2)
   p_rB: jnp.ndarray       # (P, 2, 2)
@@ -167,6 +205,9 @@ class SolveBundle(NamedTuple):
   p_imB: jnp.ndarray
   p_iiA: jnp.ndarray
   p_iiB: jnp.ndarray
+  p_k: jnp.ndarray        # (P, 2) raw k11,k22
+  p_k12: jnp.ndarray      # (P,)
+  p_block: jnp.ndarray    # (P,) bool
 
 
 class PostAux(NamedTuple):
@@ -237,37 +278,58 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
 
   def wall_pass(v, w, wc):
     # walls touch distinct (body) rows independently: parallel over bodies,
-    # sequential over the W*2 slots within each body
-    def one_slot(carry, idx):
+    # sequential over walls; per contact, Box2D order: friction for both
+    # points, then the normal constraints as a 2x2 block (or sequentially
+    # when the block is inactive) — b2ContactSolver::SolveVelocityConstraints
+    def one_wall(carry, wi):
       v, w, wc = carry
-      wi, k = idx // 2, idx % 2
       n = wall_n[wi]
       t = jnp.stack([n[1], -n[0]])
-      rB = b.w_rB[:, wi, k]                                        # (N,2)
-      dv = v + cross_sv(w, rB)
-      # friction
-      vt = (dv * t).sum(-1)
-      lam = -b.w_tmass[:, wi, k] * vt
-      maxf = b.w_mu * wc[:, wi, k, 0]
-      new = jnp.clip(wc[:, wi, k, 1] + lam, -maxf, maxf)
-      d = new - wc[:, wi, k, 1]
-      wc = wc.at[:, wi, k, 1].set(new)
-      P = d[:, None] * t
-      v = v + b.inv_m[:, None] * P
-      w = w + b.inv_i * cross_vv(rB, P)
-      # normal
-      dv = v + cross_sv(w, rB)
-      vn = (dv * n).sum(-1)
-      lam = -b.w_nmass[:, wi, k] * (vn - b.w_bias[:, wi, k])
-      new = jnp.maximum(wc[:, wi, k, 0] + lam, 0.0)
-      d = new - wc[:, wi, k, 0]
-      wc = wc.at[:, wi, k, 0].set(new)
-      P = d[:, None] * n
-      v = v + b.inv_m[:, None] * P
-      w = w + b.inv_i * cross_vv(rB, P)
+      for k in range(2):  # friction, both points
+        rB = b.w_rB[:, wi, k]                                      # (N,2)
+        dv = v + cross_sv(w, rB)
+        vt = (dv * t).sum(-1)
+        lam = -b.w_tmass[:, wi, k] * vt
+        maxf = b.w_mu * wc[:, wi, k, 0]
+        new = jnp.clip(wc[:, wi, k, 1] + lam, -maxf, maxf)
+        d = new - wc[:, wi, k, 1]
+        wc = wc.at[:, wi, k, 1].set(new)
+        P = d[:, None] * t
+        v = v + b.inv_m[:, None] * P
+        w = w + b.inv_i * cross_vv(rB, P)
+      # normal: sequential candidate deltas (applied virtually in order)
+      rB1, rB2 = b.w_rB[:, wi, 0], b.w_rB[:, wi, 1]
+      a1, a2 = wc[:, wi, 0, 0], wc[:, wi, 1, 0]
+      vs, ws = v, w
+      d_seq = []
+      for k, (rB, acc) in enumerate(((rB1, a1), (rB2, a2))):
+        dv = vs + cross_sv(ws, rB)
+        vn = (dv * n).sum(-1)
+        lam = -b.w_nmass[:, wi, k] * (vn - b.w_bias[:, wi, k])
+        new = jnp.maximum(acc + lam, 0.0)
+        dk = new - acc
+        d_seq.append(dk)
+        P = dk[:, None] * n
+        vs = vs + b.inv_m[:, None] * P
+        ws = ws + b.inv_i * cross_vv(rB, P)
+      # block candidate (2x2 LCP, b2ContactSolver case enumeration)
+      vn1 = ((v + cross_sv(w, rB1)) * n).sum(-1)
+      vn2 = ((v + cross_sv(w, rB2)) * n).sum(-1)
+      k11, k22 = b.w_k[:, wi, 0], b.w_k[:, wi, 1]
+      k12 = b.w_k12[:, wi]
+      d1b, d2b = _block_lcp(
+          vn1 - b.w_bias[:, wi, 0], vn2 - b.w_bias[:, wi, 1], a1, a2,
+          k11, k22, k12, b.w_nmass[:, wi, 0], b.w_nmass[:, wi, 1])
+      blk = b.w_block[:, wi]
+      d1 = jnp.where(blk, d1b, d_seq[0])
+      d2 = jnp.where(blk, d2b, d_seq[1])
+      v = v + b.inv_m[:, None] * ((d1 + d2)[:, None] * n)
+      w = w + b.inv_i * (cross_vv(rB1, d1[:, None] * n)
+                         + cross_vv(rB2, d2[:, None] * n))
+      wc = wc.at[:, wi, 0, 0].set(a1 + d1).at[:, wi, 1, 0].set(a2 + d2)
       return (v, w, wc), None
 
-    (v, w, wc), _ = jax.lax.scan(one_slot, (v, w, wc), jnp.arange(nw * 2))
+    (v, w, wc), _ = jax.lax.scan(one_wall, (v, w, wc), jnp.arange(nw))
     return v, w, wc
 
   def pair_pass(v, w, pc):
@@ -278,7 +340,7 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
       t = jnp.stack([n[1], -n[0]])
       imA, imB, iA, iB = b.p_imA[p], b.p_imB[p], b.p_iiA[p], b.p_iiB[p]
 
-      def one_point(carry, k):
+      def one_fric(carry, k):
         v, w, pc = carry
         rA, rB = b.p_rA[p, k], b.p_rB[p, k]
         dv = v[bb] + cross_sv(w[bb], rB) - v[a] - cross_sv(w[a], rA)
@@ -291,18 +353,43 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
         P = d * t
         v = v.at[a].add(-imA * P).at[bb].add(imB * P)
         w = w.at[a].add(-iA * cross_vv(rA, P)).at[bb].add(iB * cross_vv(rB, P))
-        dv = v[bb] + cross_sv(w[bb], rB) - v[a] - cross_sv(w[a], rA)
-        vn = (dv * n).sum(-1)
-        lam = -b.p_nmass[p, k] * (vn - b.p_bias[p, k])
-        new = jnp.maximum(pc[p, k, 0] + lam, 0.0)
-        d = new - pc[p, k, 0]
-        pc = pc.at[p, k, 0].set(new)
-        P = d * n
-        v = v.at[a].add(-imA * P).at[bb].add(imB * P)
-        w = w.at[a].add(-iA * cross_vv(rA, P)).at[bb].add(iB * cross_vv(rB, P))
         return (v, w, pc), None
 
-      (v, w, pc), _ = jax.lax.scan(one_point, (v, w, pc), jnp.arange(2))
+      (v, w, pc), _ = jax.lax.scan(one_fric, (v, w, pc), jnp.arange(2))
+
+      # normal: sequential candidate deltas from the post-friction state
+      rA1, rB1 = b.p_rA[p, 0], b.p_rB[p, 0]
+      rA2, rB2 = b.p_rA[p, 1], b.p_rB[p, 1]
+      a1, a2 = pc[p, 0, 0], pc[p, 1, 0]
+      vs, ws = v, w
+      d_seq = []
+      for k, (rA, rB, acc) in enumerate(((rA1, rB1, a1), (rA2, rB2, a2))):
+        dv = vs[bb] + cross_sv(ws[bb], rB) - vs[a] - cross_sv(ws[a], rA)
+        vn = (dv * n).sum(-1)
+        lam = -b.p_nmass[p, k] * (vn - b.p_bias[p, k])
+        new = jnp.maximum(acc + lam, 0.0)
+        dk = new - acc
+        d_seq.append(dk)
+        P = dk * n
+        vs = vs.at[a].add(-imA * P).at[bb].add(imB * P)
+        ws = ws.at[a].add(-iA * cross_vv(rA, P)).at[bb].add(iB * cross_vv(rB, P))
+      # block candidate from the same pre-normal state
+      dv1 = v[bb] + cross_sv(w[bb], rB1) - v[a] - cross_sv(w[a], rA1)
+      dv2 = v[bb] + cross_sv(w[bb], rB2) - v[a] - cross_sv(w[a], rA2)
+      d1b, d2b = _block_lcp(
+          (dv1 * n).sum(-1) - b.p_bias[p, 0],
+          (dv2 * n).sum(-1) - b.p_bias[p, 1], a1, a2,
+          b.p_k[p, 0], b.p_k[p, 1], b.p_k12[p],
+          b.p_nmass[p, 0], b.p_nmass[p, 1])
+      blk = b.p_block[p]
+      d1 = jnp.where(blk, d1b, d_seq[0])
+      d2 = jnp.where(blk, d2b, d_seq[1])
+      P = (d1 + d2) * n
+      v = v.at[a].add(-imA * P).at[bb].add(imB * P)
+      dw = cross_vv(rA1, d1 * n) + cross_vv(rA2, d2 * n)
+      dwB = cross_vv(rB1, d1 * n) + cross_vv(rB2, d2 * n)
+      w = w.at[a].add(-iA * dw).at[bb].add(iB * dwB)
+      pc = pc.at[p, 0, 0].set(a1 + d1).at[p, 1, 0].set(a2 + d2)
       return (v, w, pc), None
 
     (v, w, pc), _ = jax.lax.scan(one_pair, (v, w, pc),
@@ -425,10 +512,22 @@ def _presolve(spec: WorldSpec, st: WorldState, motor_speed):
   w_rB = wallm.points - st.c[:, None, None, :]                    # (N,W,2,2)
   w_imB = inv_m[:, None, None]
   w_iiB = inv_i[:, None, None]
-  w_kn = w_imB + w_iiB * cross_vv(w_rB, w_n) ** 2
+  w_rn = cross_vv(w_rB, w_n)                                      # (N,W,2)
+  w_kn = w_imB + w_iiB * w_rn ** 2
   w_kt = w_imB + w_iiB * cross_vv(w_rB, w_t) ** 2
-  w_nmass = jnp.where(wallm.touch, 1.0 / jnp.maximum(w_kn, 1e-12), 0.0)
-  w_tmass = jnp.where(wallm.touch, 1.0 / jnp.maximum(w_kt, 1e-12), 0.0)
+  # 2-point block solve (b2ContactSolver::InitializeVelocityConstraints):
+  # use the 2x2 K when both points touch and K is well-conditioned, else
+  # Box2D degrades the velocity constraint to pointCount=1 (drops point 2)
+  w_k12 = w_imB[..., 0] + w_iiB[..., 0] * w_rn[..., 0] * w_rn[..., 1]
+  w_det = w_kn[..., 0] * w_kn[..., 1] - w_k12 * w_k12
+  w_cond = w_kn[..., 0] * w_kn[..., 0] < 1000.0 * w_det
+  w_both = wallm.touch[..., 0] & wallm.touch[..., 1]
+  w_block = w_both & w_cond
+  w_degrade = w_both & ~w_cond
+  w_vtouch = wallm.touch.at[..., 1].set(wallm.touch[..., 1] & ~w_degrade)
+  wc_imp = jnp.where(w_vtouch[..., None], wc_imp, 0.0)
+  w_nmass = jnp.where(w_vtouch, 1.0 / jnp.maximum(w_kn, 1e-12), 0.0)
+  w_tmass = jnp.where(w_vtouch, 1.0 / jnp.maximum(w_kt, 1e-12), 0.0)
   # contact friction is the geometric mix with the wall's (Box2D default 0.2)
   w_mu = jnp.sqrt(0.2 * spec.friction)[:, None, None]
   w_e = spec.restitution[:, None, None]
@@ -444,12 +543,23 @@ def _presolve(spec: WorldSpec, st: WorldState, motor_speed):
   p_rB = pairm.points - st.c[p_b][:, None, :]
   p_imA, p_imB = inv_m[p_a][:, None], inv_m[p_b][:, None]
   p_iiA, p_iiB = inv_i[p_a][:, None], inv_i[p_b][:, None]
-  p_kn = p_imA + p_imB + p_iiA * cross_vv(p_rA, p_n) ** 2 \
-      + p_iiB * cross_vv(p_rB, p_n) ** 2
+  p_rnA = cross_vv(p_rA, p_n)                                      # (P,2)
+  p_rnB = cross_vv(p_rB, p_n)
+  p_kn = p_imA + p_imB + p_iiA * p_rnA ** 2 + p_iiB * p_rnB ** 2
   p_kt = p_imA + p_imB + p_iiA * cross_vv(p_rA, p_t) ** 2 \
       + p_iiB * cross_vv(p_rB, p_t) ** 2
-  p_nmass = jnp.where(pairm.touch, 1.0 / jnp.maximum(p_kn, 1e-12), 0.0)
-  p_tmass = jnp.where(pairm.touch, 1.0 / jnp.maximum(p_kt, 1e-12), 0.0)
+  p_k12 = (p_imA[:, 0] + p_imB[:, 0]
+           + p_iiA[:, 0] * p_rnA[:, 0] * p_rnA[:, 1]
+           + p_iiB[:, 0] * p_rnB[:, 0] * p_rnB[:, 1])
+  p_det = p_kn[:, 0] * p_kn[:, 1] - p_k12 * p_k12
+  p_cond = p_kn[:, 0] * p_kn[:, 0] < 1000.0 * p_det
+  p_both = pair_touch[:, 0] & pair_touch[:, 1]
+  p_block = p_both & p_cond
+  p_degrade = p_both & ~p_cond
+  p_vtouch = pair_touch.at[:, 1].set(pair_touch[:, 1] & ~p_degrade)
+  pc_imp = jnp.where(p_vtouch[..., None], pc_imp, 0.0)
+  p_nmass = jnp.where(p_vtouch, 1.0 / jnp.maximum(p_kn, 1e-12), 0.0)
+  p_tmass = jnp.where(p_vtouch, 1.0 / jnp.maximum(p_kt, 1e-12), 0.0)
   p_mu = jnp.asarray(
       np.sqrt(spec.friction[p_a] * spec.friction[p_b]))[:, None]
   p_e = jnp.asarray(
@@ -516,11 +626,11 @@ def _presolve(spec: WorldSpec, st: WorldState, motor_speed):
       j_rA=j_rA, j_rB=j_rB, j_axmass=j_axmass, j_state=j_state,
       j_mA=j_mA, j_mB=j_mB, j_iA=j_iA, j_iB=j_iB, motor_speed=motor_speed,
       w_rB=w_rB, w_nmass=w_nmass, w_tmass=w_tmass, w_bias=w_bias,
-      w_mu=w_mu[:, 0, 0],
+      w_mu=w_mu[:, 0, 0], w_k=w_kn, w_k12=w_k12, w_block=w_block,
       p_n=pairm.normal, p_rA=p_rA, p_rB=p_rB, p_nmass=p_nmass,
       p_tmass=p_tmass, p_bias=p_bias, p_mu=p_mu[:, 0],
       p_imA=p_imA[:, 0], p_imB=p_imB[:, 0], p_iiA=p_iiA[:, 0],
-      p_iiB=p_iiB[:, 0])
+      p_iiB=p_iiB[:, 0], p_k=p_kn, p_k12=p_k12, p_block=p_block)
   return bundle, PostAux(wallm=wallm, pairm=pairm, j_state=j_state, lc=lc)
 
 
@@ -554,6 +664,9 @@ def _postsolve(spec: WorldSpec, st: WorldState, b: SolveBundle, aux: PostAux,
   # ---- 8. position iterations (NGS) ---------------------------------------------
   def pos_iter(_, ca):
     c, a = ca
+    # Box2D island order per position iteration: contacts first, then joints
+    # (b2Island::Solve — contactSolver.SolvePositionConstraints before the
+    # joint loop); within contacts: walls then pairs (spec order)
 
     # joints: limit correction then point correction (Box2D order)
     def one_joint(ca, j):
@@ -587,8 +700,6 @@ def _postsolve(spec: WorldSpec, st: WorldState, b: SolveBundle, aux: PostAux,
       c = c.at[pa].add(-mA * P).at[ch].add(mB * P)
       a = a.at[pa].add(-iA * cross_vv(rA, P)).at[ch].add(iB * cross_vv(rB, P))
       return (c, a), None
-
-    (c, a), _ = jax.lax.scan(one_joint, (c, a), jnp.arange(len(spec.j_parent)))
 
     # wall contacts (parallel over bodies, sequential over W*2 slots)
     def one_wall_slot(ca, idx):
@@ -654,6 +765,7 @@ def _postsolve(spec: WorldSpec, st: WorldState, b: SolveBundle, aux: PostAux,
 
     (c, a), _ = jax.lax.scan(one_pair_slot, (c, a),
                              jnp.arange(len(spec.pair_a) * 2))
+    (c, a), _ = jax.lax.scan(one_joint, (c, a), jnp.arange(len(spec.j_parent)))
     return c, a
 
   c, a = jax.lax.fori_loop(0, spec.pos_iters, pos_iter, (c, a))

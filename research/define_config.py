@@ -43,6 +43,7 @@ def config():
   G.datamode = 'video'
   G.ipython_mode = 0
   G.optimize_actions = 0  # viz mode: plan actions by grad through the model
+  G.interactive = 0  # viz mode: live pyglet debugger (falls back headless)
   G.eval_n = 2048         # samples pooled per Evaler rep for FVD/P-R
   G.mesh = ''             # e.g. 'dp8': data-parallel train/collect sharding
   G.device_dataset = 0    # train from an HBM-resident dataset (no host I/O)

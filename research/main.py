@@ -113,12 +113,13 @@ def main(argv=None):
   elif G.mode in ('viz', 'fiddle'):
     from research.nets import net_map
     from research.nets._base import Net
-    from research.runners import Fiddler, Vizer
+    from research.runners import Fiddler, InteractiveVizer, Vizer
     mG = Net.load_config(G.weightdir, G.model)
     mG.update(logdir=G.logdir, datadir=G.datadir)  # keep checkpoint weightdir
     model = net_map[G.model](env, mG)
     model.load(G.weightdir)
-    runner = Vizer(model, env, G) if G.mode == 'viz' else Fiddler(model, env, G)
+    viz_cls = InteractiveVizer if G.get('interactive', 0) else Vizer
+    runner = viz_cls(model, env, G) if G.mode == 'viz' else Fiddler(model, env, G)
     runner.run()
   else:
     raise ValueError(f'unknown mode {G.mode}')

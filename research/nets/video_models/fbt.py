@@ -3,8 +3,9 @@
 GPT over frozen BVAE binary latents, action-conditioned, Bernoulli token head
 (reference: research/nets/video_models/flat_btoken.py). The frozen BVAE is
 loaded from G.weightdir just like the reference (flat_btoken.py:21-30).
-Sampling is a `lax.scan` over positions (full forward per step, as in the
-reference; KV-cache serving is a planned optimization).
+Sampling and lenv serving are KV-cached (`FBTModule.step` + cached `sample`,
+O(T^2) vs the reference's O(T^3) full re-forward per token; teacher-forced
+logits-equality regression in tests/test_models.py).
 """
 from __future__ import annotations
 

@@ -48,7 +48,13 @@ def test_dp_training_matches_single_device():
 
 
 def test_sharded_collect_rollout_matches():
-  """fill_barrels' sharded rollout path: dp8 output == unsharded output."""
+  """fill_barrels' sharded rollout path: dp8 output == unsharded output.
+
+  Integer outputs (lcd, done flags) must match bitwise. Float outputs are
+  allowed ULP-level slack: the sharded and unsharded programs are distinct
+  XLA compilations whose FMA/fusion choices differ inside the contact
+  solver's block-LCP math, which perturbs full_state by ~1 ulp (measured
+  1.19e-7 max on 27/1600 elements; lcd and proprio still bit-equal)."""
   import numpy as np
   from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
   import boxlcd_tpu
@@ -63,5 +69,8 @@ def test_sharded_collect_rollout_matches():
   sharded = jax.jit(fn.keys_fn, in_shardings=(bshard,),
                     out_shardings=bshard)(jax.device_put(keys, bshard))
   for k in plain:
-    np.testing.assert_array_equal(np.asarray(plain[k]),
-                                  np.asarray(sharded[k]), err_msg=k)
+    a, b = np.asarray(plain[k]), np.asarray(sharded[k])
+    if np.issubdtype(a.dtype, np.floating):
+      np.testing.assert_allclose(a, b, atol=3e-7, rtol=0, err_msg=k)
+    else:
+      np.testing.assert_array_equal(a, b, err_msg=k)
