@@ -44,8 +44,8 @@ def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
        'raster': os.environ.get('BENCH_RASTER', 'exact')})
   solver = None
   if use_pallas and jax.default_backend() != 'cpu':
-    from boxlcd_tpu.engine.pallas_solver import make_batched_solver
-    solver = make_batched_solver(env.spec)
+    from boxlcd_tpu.engine.pallas_solver import make_substep_solver
+    solver = make_substep_solver(env.spec)
 
   def one_chunk(states, key):
     """T env steps incl. observation (lcd render + obs packing) per step."""
@@ -55,7 +55,7 @@ def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
       states = carry
       acts = jax.random.uniform(k, (B, env.act_size), minval=-1, maxval=1)
       states = physics.step_world_batch(env.spec, states, acts,
-                                        velocity_solver=solver)
+                                        substep_solver=solver)
       obs = jax.vmap(lambda s: Env.observe(env, s))(states)
       # consume EVERY obs component so none of the packing is DCE'd
       consumed = (obs['lcd'].sum() + obs['full_state'].sum()

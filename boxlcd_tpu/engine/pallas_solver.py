@@ -1,9 +1,17 @@
-"""Pallas TPU kernel: fused sequential-impulse velocity iterations.
+"""Pallas TPU kernels: fused constraint solving for the physics substep.
 
-The velocity-iteration loop is the solver hot spot (SURVEY.md §7 names it
-the Pallas-kernel candidate). This kernel runs the ENTIRE loop — joints,
-wall contacts, pair contacts, all `vel_iters` Gauss-Seidel sweeps — in one
-program with every operand resident in VMEM.
+Two kernels share one body-builder:
+- the velocity kernel (`make_batched_solver`) runs the sequential-impulse
+  velocity iterations — joints, wall contacts, pair contacts, all
+  `vel_iters` Gauss-Seidel sweeps — in one program with every operand
+  resident in VMEM.
+- the substep kernel (`make_substep_solver`) extends it with position
+  integration and the non-linear Gauss-Seidel position iterations, fusing
+  the whole post-narrowphase substep (velocity solve + integrate + NGS).
+  The NGS stage is the measured hot spot on TPU: as sequential XLA scans it
+  costs ~5.6 ms per substep at 4096 worlds (~99% of the step), because each
+  tiny constraint-slot update becomes its own dispatched op; in-kernel the
+  same updates are back-to-back VPU tile ops.
 
 Layout: worlds are the vector axis. Each bundle field (B, *S) is transposed
 to (*S, B/128, 128); one grid program owns a (*S, 8, 128) block = 1024
@@ -24,7 +32,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from boxlcd_tpu.engine.physics import SolveBundle, _block_lcp
+from boxlcd_tpu.engine.physics import (
+    ANGULAR_SLOP, BAUMGARTE, LINEAR_SLOP, MAX_ANGULAR_CORRECTION,
+    MAX_LINEAR_CORRECTION, SolveBundle, _block_lcp)
 from boxlcd_tpu.engine.spec import WorldSpec
 
 SUB, LANE = 8, 128
@@ -43,7 +53,7 @@ def _from_kernel_layout(x, B):
   return jnp.moveaxis(x.reshape(*s, B), -1, 0)
 
 
-def _make_kernel(spec: WorldSpec):
+def _make_kernel(spec: WorldSpec, with_position: bool = False):
   """Build the kernel fn closed over all static topology."""
   n = spec.n
   nw = len(spec.wall_offset)
@@ -51,13 +61,21 @@ def _make_kernel(spec: WorldSpec):
   pn_pad = len(spec.pair_a)
   dt = spec.dt
   vel_iters = spec.vel_iters
+  pos_iters = spec.pos_iters
   joints = [(j, int(spec.j_parent[j]), int(spec.j_child[j]),
              bool(spec.j_limited[j] and spec.j_lower[j] == spec.j_upper[j]),
              float(spec.j_torque[j]))
             for j in range(spec.jn)]
+  jlims = [(float(spec.j_lower[j]), float(spec.j_upper[j]))
+           for j in range(jn_pad)]
   pairs = [(p, int(spec.pair_a[p]), int(spec.pair_b[p]))
            for p in range(pn_pad) if spec.pair_valid[p]]
   wall_n = np.asarray(spec.wall_normal)
+  wall_off = np.asarray(spec.wall_offset)
+  # numpy copies of the Box2D constants (jnp module constants would become
+  # captured device arrays inside the kernel)
+  ANG_SLOP = float(ANGULAR_SLOP)
+  MAX_ACORR = float(MAX_ANGULAR_CORRECTION)
 
   def kernel(v_ref, w_ref, j_imp_ref, j_mot_ref, j_lim_ref, wc_ref, pc_ref,
              inv_m_ref, inv_i_ref, j_rA_ref, j_rB_ref, j_axm_ref,
@@ -67,7 +85,16 @@ def _make_kernel(spec: WorldSpec):
              p_n_ref, p_rA_ref, p_rB_ref, p_nm_ref, p_tm_ref, p_bias_ref,
              p_mu_ref, p_imA_ref, p_imB_ref, p_iiA_ref, p_iiB_ref,
              p_k_ref, p_k12_ref, p_blk_ref,
-             v_out, w_out, j_imp_out, j_mot_out, j_lim_out, wc_out, pc_out):
+             *rest):
+    if with_position:
+      (c0_ref, a0_ref, w_lps_ref, w_rads_ref, w_tch_ref,
+       p_lps_ref, p_ln_ref, p_lpp_ref, p_rads_ref, p_mt_ref, p_tch_ref,
+       j_ref_ref, j_anca_ref, j_ancb_ref,
+       v_out, w_out, j_imp_out, j_mot_out, j_lim_out, wc_out, pc_out,
+       c_out, a_out) = rest
+    else:
+      (v_out, w_out, j_imp_out, j_mot_out, j_lim_out, wc_out,
+       pc_out) = rest
     # mutable state as flat tuples of (8, 128) tiles
     vx0 = tuple(v_ref[i, 0] for i in range(n))
     vy0 = tuple(v_ref[i, 1] for i in range(n))
@@ -273,6 +300,149 @@ def _make_kernel(spec: WorldSpec):
     vx, vy, om, jix, jiy, jm, jl, wcn, wct, pcn, pct = jax.lax.fori_loop(
         0, vel_iters, body, carry)
 
+    if with_position:
+      # ---- integrate positions + NGS iterations (mirrors
+      # physics._position_solve: walls, pairs, then joints per iteration) ---
+      cx0 = tuple(c0_ref[i, 0] + dt * vx[i] for i in range(n))
+      cy0 = tuple(c0_ref[i, 1] + dt * vy[i] for i in range(n))
+      aa0 = tuple(a0_ref[i] + dt * om[i] for i in range(n))
+
+      def pos_body(_, carry):
+        cx, cy, aa = [list(c) for c in carry]
+        # wall contacts: slots (wi, k) sequential, bodies independent
+        for idx in range(nw * 2):
+          wi, k = idx // 2, idx % 2
+          nx, ny = float(wall_n[wi, 0]), float(wall_n[wi, 1])
+          off = float(wall_off[wi])
+          for i in range(n):
+            im, ii = inv_m_ref[i], inv_i_ref[i]
+            ca_, sa_ = jnp.cos(aa[i]), jnp.sin(aa[i])
+            lx = w_lps_ref[i, wi, k, 0]
+            ly = w_lps_ref[i, wi, k, 1]
+            ptx = cx[i] + ca_ * lx - sa_ * ly
+            pty = cy[i] + sa_ * lx + ca_ * ly
+            sep = ptx * nx + pty * ny - off - w_rads_ref[i, wi]
+            C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP),
+                         -MAX_LINEAR_CORRECTION, 0.0)
+            rBx, rBy = ptx - cx[i], pty - cy[i]
+            crn = rBx * ny - rBy * nx
+            kn = im + ii * crn * crn
+            imp = jnp.where(w_tch_ref[i, wi, k] > 0.5,
+                            -C / jnp.maximum(kn, 1e-12), 0.0)
+            cx[i] = cx[i] + im * imp * nx
+            cy[i] = cy[i] + im * imp * ny
+            aa[i] = aa[i] + ii * crn * imp
+        # pair contacts: slots (p, k) sequential
+        for p, ia, ib in pairs:
+          imA, imB = inv_m_ref[ia], inv_m_ref[ib]
+          iiA, iiB = inv_i_ref[ia], inv_i_ref[ib]
+          mt = p_mt_ref[p]
+          rad = p_rads_ref[p]
+          lnx, lny = p_ln_ref[p, 0], p_ln_ref[p, 1]
+          lppx, lppy = p_lpp_ref[p, 0], p_lpp_ref[p, 1]
+          for k in range(2):
+            ca_, sa_ = jnp.cos(aa[ia]), jnp.sin(aa[ia])
+            cb_, sb_ = jnp.cos(aa[ib]), jnp.sin(aa[ib])
+            # circle-circle candidate (always from clip point 0)
+            l0x, l0y = p_lps_ref[p, 0, 0], p_lps_ref[p, 0, 1]
+            pB0x = cx[ib] + cb_ * l0x - sb_ * l0y
+            pB0y = cy[ib] + sb_ * l0x + cb_ * l0y
+            d0x, d0y = pB0x - cx[ia], pB0y - cy[ia]
+            dist0 = jnp.sqrt(d0x * d0x + d0y * d0y)
+            ok0 = dist0 > 1e-9
+            inv0 = 1.0 / jnp.maximum(dist0, 1e-9)
+            n0x = jnp.where(ok0, d0x * inv0, 0.0)
+            n0y = jnp.where(ok0, d0y * inv0, 1.0)
+            sep0 = dist0 - rad
+            pt0x = 0.5 * (cx[ia] + pB0x)
+            pt0y = 0.5 * (cy[ia] + pB0y)
+            # faceA candidate
+            lkx, lky = p_lps_ref[p, k, 0], p_lps_ref[p, k, 1]
+            nf1x = ca_ * lnx - sa_ * lny
+            nf1y = sa_ * lnx + ca_ * lny
+            pl1x = cx[ia] + ca_ * lppx - sa_ * lppy
+            pl1y = cy[ia] + sa_ * lppx + ca_ * lppy
+            cl1x = cx[ib] + cb_ * lkx - sb_ * lky
+            cl1y = cy[ib] + sb_ * lkx + cb_ * lky
+            sep1 = (cl1x - pl1x) * nf1x + (cl1y - pl1y) * nf1y - rad
+            # faceB candidate
+            nf2x = cb_ * lnx - sb_ * lny
+            nf2y = sb_ * lnx + cb_ * lny
+            pl2x = cx[ib] + cb_ * lppx - sb_ * lppy
+            pl2y = cy[ib] + sb_ * lppx + cb_ * lppy
+            cl2x = cx[ia] + ca_ * lkx - sa_ * lky
+            cl2y = cy[ia] + sa_ * lkx + ca_ * lky
+            sep2 = (cl2x - pl2x) * nf2x + (cl2y - pl2y) * nf2y - rad
+            mt0 = mt < 0.5
+            mt1 = (mt > 0.5) & (mt < 1.5)
+            nx = jnp.where(mt0, n0x, jnp.where(mt1, nf1x, -nf2x))
+            ny = jnp.where(mt0, n0y, jnp.where(mt1, nf1y, -nf2y))
+            ptx = jnp.where(mt0, pt0x, jnp.where(mt1, cl1x, cl2x))
+            pty = jnp.where(mt0, pt0y, jnp.where(mt1, cl1y, cl2y))
+            sep = jnp.where(mt0, sep0, jnp.where(mt1, sep1, sep2))
+            C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP),
+                         -MAX_LINEAR_CORRECTION, 0.0)
+            rAx, rAy = ptx - cx[ia], pty - cy[ia]
+            rBx, rBy = ptx - cx[ib], pty - cy[ib]
+            crA = rAx * ny - rAy * nx
+            crB = rBx * ny - rBy * nx
+            kn = imA + imB + iiA * crA * crA + iiB * crB * crB
+            imp = jnp.where(p_tch_ref[p, k] > 0.5,
+                            -C / jnp.maximum(kn, 1e-12), 0.0)
+            px, py = imp * nx, imp * ny
+            cx[ia] = cx[ia] - imA * px
+            cy[ia] = cy[ia] - imA * py
+            cx[ib] = cx[ib] + imB * px
+            cy[ib] = cy[ib] + imB * py
+            aa[ia] = aa[ia] - iiA * (rAx * py - rAy * px)
+            aa[ib] = aa[ib] + iiB * (rBx * py - rBy * px)
+        # joints: limit correction then point correction
+        for j, pa, ch, is_equal, _torque in joints:
+          lo, hi = jlims[j]
+          iA, iB = j_iA_ref[j], j_iB_ref[j]
+          mA, mB = j_mA_ref[j], j_mB_ref[j]
+          state = j_state_ref[j]
+          ang = aa[ch] - aa[pa] - j_ref_ref[j]
+          c_eq = jnp.clip(ang - lo, -MAX_ACORR, MAX_ACORR)
+          c_lo = jnp.clip(ang - lo + ANG_SLOP, -MAX_ACORR, 0.0)
+          c_hi = jnp.clip(ang - hi - ANG_SLOP, 0.0, MAX_ACORR)
+          C = jnp.where(state == 3, c_eq,
+                        jnp.where(state == 1, c_lo,
+                                  jnp.where(state == 2, c_hi, 0.0)))
+          d = -j_axm_ref[j] * C
+          aa[pa] = aa[pa] - iA * d
+          aa[ch] = aa[ch] + iB * d
+          ca_, sa_ = jnp.cos(aa[pa]), jnp.sin(aa[pa])
+          cb_, sb_ = jnp.cos(aa[ch]), jnp.sin(aa[ch])
+          ax_, ay_ = j_anca_ref[j, 0], j_anca_ref[j, 1]
+          bx_, by_ = j_ancb_ref[j, 0], j_ancb_ref[j, 1]
+          rAx = ca_ * ax_ - sa_ * ay_
+          rAy = sa_ * ax_ + ca_ * ay_
+          rBx = cb_ * bx_ - sb_ * by_
+          rBy = sb_ * bx_ + cb_ * by_
+          Cvx = cx[ch] + rBx - cx[pa] - rAx
+          Cvy = cy[ch] + rBy - cy[pa] - rAy
+          k11 = mA + mB + iA * rAy * rAy + iB * rBy * rBy
+          k12 = -iA * rAx * rAy - iB * rBx * rBy
+          k22 = mA + mB + iA * rAx * rAx + iB * rBx * rBx
+          det = k11 * k22 - k12 * k12
+          det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+          px = -(k22 * Cvx - k12 * Cvy) / det
+          py = -(k11 * Cvy - k12 * Cvx) / det
+          cx[pa] = cx[pa] - mA * px
+          cy[pa] = cy[pa] - mA * py
+          cx[ch] = cx[ch] + mB * px
+          cy[ch] = cy[ch] + mB * py
+          aa[pa] = aa[pa] - iA * (rAx * py - rAy * px)
+          aa[ch] = aa[ch] + iB * (rBx * py - rBy * px)
+        return tuple(tuple(c) for c in (cx, cy, aa))
+
+      cx, cy, aa = jax.lax.fori_loop(0, pos_iters, pos_body, (cx0, cy0, aa0))
+      for i in range(n):
+        c_out[i, 0] = cx[i]
+        c_out[i, 1] = cy[i]
+        a_out[i] = aa[i]
+
     for i in range(n):
       v_out[i, 0] = vx[i]
       v_out[i, 1] = vy[i]
@@ -352,5 +522,82 @@ def make_batched_solver(spec: WorldSpec, interpret: bool = False):
     updates = {f: _from_kernel_layout(o, Bp)[:B]
                for f, o in zip(_OUT_FIELDS, outs)}
     return b._replace(**updates)
+
+  return solver
+
+
+def make_substep_solver(spec: WorldSpec, interpret: bool = False):
+  """Returns substep_solver(states, bundle, aux) for step_world_batch: one
+  fused Pallas kernel covering velocity iterations + position integration +
+  NGS position iterations. Narrowphase/presolve and sleep/writeback stay in
+  XLA (cheap, fully parallel)."""
+  kernel = _make_kernel(spec, with_position=True)
+  j_pa = np.asarray(spec.j_parent)
+  j_ch = np.asarray(spec.j_child)
+
+  def solver(states, b: SolveBundle, aux):
+    B = b.v.shape[0]
+    pad = (-B) % BLOCK
+    Bp = B + pad
+    wallm, pairm, lc = aux.wallm, aux.pairm, aux.lc
+    # joint anchors relative to each body's (per-episode) center of mass
+    anc_a = spec.j_anchor_a[None] - lc[:, j_pa]                   # (B, J, 2)
+    anc_b = spec.j_anchor_b[None] - lc[:, j_ch]
+    extras = [states.c, states.a, wallm.lps, wallm.rad_sub, wallm.touch,
+              pairm.lps, pairm.ln, pairm.lpp, pairm.rad_sub,
+              pairm.mtype, pairm.touch, states.j_ref, anc_a, anc_b]
+
+    def prep(x):
+      if x.dtype == jnp.bool_:
+        x = x.astype(jnp.float32)  # Mosaic tiles want numeric dtypes
+      elif x.dtype in (jnp.int32, jnp.int64) and x is not None:
+        x = x.astype(jnp.float32)  # mtype: compared with thresholds in-kernel
+      if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+      return _to_kernel_layout(x, Bp)
+
+    def prep_bundle(x):
+      if x.dtype == jnp.bool_:
+        x = x.astype(jnp.float32)
+      if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+      return _to_kernel_layout(x, Bp)
+
+    ins = [prep_bundle(getattr(b, f)) for f in _IN_FIELDS] \
+        + [prep(x) for x in extras]
+    grid = (Bp // BLOCK,)
+
+    def spec_for(x):
+      s = x.shape[:-2]
+      block = (*s, SUB, LANE)
+      return pl.BlockSpec(
+          block,
+          functools.partial(lambda g, nlead: (0,) * nlead + (g, 0),
+                            nlead=len(s)),
+          memory_space=pltpu.VMEM)
+
+    def shape_of(name):
+      i = _IN_FIELDS.index(name)
+      return jax.ShapeDtypeStruct(ins[i].shape, ins[i].dtype)
+
+    out_shapes = [shape_of(f) for f in _OUT_FIELDS] + [
+        jax.ShapeDtypeStruct(ins[len(_IN_FIELDS)].shape, jnp.float32),  # c
+        jax.ShapeDtypeStruct(ins[len(_IN_FIELDS) + 1].shape, jnp.float32),  # a
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_for(x) for x in ins],
+        out_specs=[spec_for(jnp.zeros(o.shape, o.dtype)) for o in out_shapes],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*ins)
+    updates = {f: _from_kernel_layout(o, Bp)[:B]
+               for f, o in zip(_OUT_FIELDS, outs)}
+    c = _from_kernel_layout(outs[-2], Bp)[:B]
+    a = _from_kernel_layout(outs[-1], Bp)[:B]
+    return b._replace(**updates), c, a
 
   return solver

@@ -441,12 +441,15 @@ def _substep(spec: WorldSpec, st: WorldState, motor_speed,
 
 
 def step_world_batch(spec: WorldSpec, states: WorldState, actions,
-                     velocity_solver=None) -> WorldState:
+                     velocity_solver=None, substep_solver=None) -> WorldState:
   """Batched env step over a leading worlds axis.
 
-  Equivalent to `jax.vmap(step_world)`, but the velocity-iteration stage runs
-  on the WHOLE batch so a fused batched solver (the Pallas kernel in
-  engine/pallas_solver.py) can be swapped in via `velocity_solver(bundle)`.
+  Equivalent to `jax.vmap(step_world)`, but the solver stages run on the
+  WHOLE batch so fused batched kernels (engine/pallas_solver.py) can be
+  swapped in: `substep_solver(states, bundle, aux)` replaces velocity
+  iterations + position integration + NGS position iterations (the hot 99%
+  of the step) and returns `(bundle', c, a)`; `velocity_solver(bundle)`
+  replaces only the velocity iterations.
   """
   act = jnp.clip(actions, -1.0, 1.0)
   has_act = spec.j_act >= 0
@@ -458,13 +461,18 @@ def step_world_batch(spec: WorldSpec, states: WorldState, actions,
   def sub(states, _):
     bundle, aux = jax.vmap(
         lambda s, ms: _presolve(spec, s, ms))(states, motor_speed)
-    if velocity_solver is None:
-      bundle = jax.vmap(lambda bb: velocity_solve(spec, bb))(bundle)
+    if substep_solver is not None:
+      bundle, c, a = substep_solver(states, bundle, aux)
     else:
-      bundle = velocity_solver(bundle)
+      if velocity_solver is None:
+        bundle = jax.vmap(lambda bb: velocity_solve(spec, bb))(bundle)
+      else:
+        bundle = velocity_solver(bundle)
+      c, a = jax.vmap(lambda s, bb, ax: _position_solve(spec, s, bb, ax))(
+          states, bundle, aux)
     new_states = jax.vmap(
-        lambda s, bb, ax, mc: _postsolve(spec, s, bb, ax, mc))(
-            states, bundle, aux, motor_changed)
+        lambda s, bb, ax, mc, cc, aa: _finalize(spec, s, bb, ax, mc, cc, aa))(
+            states, bundle, aux, motor_changed, c, a)
     return new_states, None
 
   states, _ = jax.lax.scan(sub, states, None, length=spec.substeps)
@@ -634,15 +642,15 @@ def _presolve(spec: WorldSpec, st: WorldState, motor_speed):
   return bundle, PostAux(wallm=wallm, pairm=pairm, j_state=j_state, lc=lc)
 
 
-def _postsolve(spec: WorldSpec, st: WorldState, b: SolveBundle, aux: PostAux,
-               motor_changed) -> WorldState:
-  """Steps 7-10: integrate positions, NGS corrections, sleeping, writeback."""
+def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
+                    aux: PostAux):
+  """Steps 7-8: integrate positions + NGS corrections (jnp path). Returns
+  (c, a); the batched caller can swap in the fused Pallas substep kernel
+  (engine/pallas_solver.py) for this stage."""
   dt = spec.dt
   wallm, pairm, j_state, lc = aux.wallm, aux.pairm, aux.j_state, aux.lc
   inv_m, inv_i = b.inv_m, b.inv_i
   v, w = b.v, b.w
-  j_imp, j_mot, j_lim = b.j_imp, b.j_mot, b.j_lim
-  wc_imp, pc_imp = b.wc, b.pc
   nw = len(spec.wall_offset)
   wall_n = jnp.asarray(spec.wall_normal)
   wall_off = jnp.asarray(spec.wall_offset)
@@ -769,6 +777,19 @@ def _postsolve(spec: WorldSpec, st: WorldState, b: SolveBundle, aux: PostAux,
     return c, a
 
   c, a = jax.lax.fori_loop(0, spec.pos_iters, pos_iter, (c, a))
+  return c, a
+
+
+def _finalize(spec: WorldSpec, st: WorldState, b: SolveBundle, aux: PostAux,
+              motor_changed, c, a) -> WorldState:
+  """Steps 9-10: sleeping + state writeback."""
+  dt = spec.dt
+  wallm, pairm, j_state = aux.wallm, aux.pairm, aux.j_state
+  v, w = b.v, b.w
+  j_imp, j_mot, j_lim = b.j_imp, b.j_mot, b.j_lim
+  wc_imp, pc_imp = b.wc, b.pc
+  j_pa, j_ch = jnp.asarray(spec.j_parent), jnp.asarray(spec.j_child)
+  pair_a, pair_b = jnp.asarray(spec.pair_a), jnp.asarray(spec.pair_b)
 
   # ---- 9. sleeping (island-based, Box2D semantics) --------------------------
   sleep_time = st.sleep_time
@@ -811,3 +832,10 @@ def _postsolve(spec: WorldSpec, st: WorldState, b: SolveBundle, aux: PostAux,
       pc_imp=jnp.where(pairm.touch[..., None], pc_imp, 0.0),
       pc_id=jnp.where(pairm.touch, pairm.ids, -1),
       j_imp=j_imp, j_mot=j_mot, j_lim=j_lim, j_state=j_state)
+
+
+def _postsolve(spec: WorldSpec, st: WorldState, b: SolveBundle, aux: PostAux,
+               motor_changed) -> WorldState:
+  """Steps 7-10: integrate positions, NGS corrections, sleeping, writeback."""
+  c, a = _position_solve(spec, st, b, aux)
+  return _finalize(spec, st, b, aux, motor_changed, c, a)

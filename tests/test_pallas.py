@@ -7,28 +7,54 @@ import pytest
 
 import boxlcd_tpu
 from boxlcd_tpu.engine import physics
-from boxlcd_tpu.engine.pallas_solver import BLOCK, make_batched_solver
+from boxlcd_tpu.engine.pallas_solver import (
+    BLOCK, make_batched_solver, make_substep_solver)
 
 
-@pytest.mark.parametrize('env_name', ['UrchinBall'])
-def test_pallas_velocity_solver_matches_jnp(env_name):
-  env = boxlcd_tpu.env_map[env_name]()
+def _warm_states(env, B, steps=3):
   spec = env.spec
-  B = BLOCK
   keys = jax.random.split(jax.random.PRNGKey(0), B)
   states = jax.vmap(lambda k: boxlcd_tpu.Env.reset(env, k))(keys)
   acts = jax.random.uniform(jax.random.PRNGKey(1), (B, env.act_size),
                             minval=-1, maxval=1)
   # a few steps to build contacts before the comparison step
   warm = jax.jit(lambda s, a: physics.step_world_batch(spec, s, a))
-  for _ in range(3):
+  for _ in range(steps):
     states = warm(states, acts)
+  return states, acts
+
+
+@pytest.mark.parametrize('env_name', ['UrchinBall'])
+def test_pallas_velocity_solver_matches_jnp(env_name):
+  env = boxlcd_tpu.env_map[env_name]()
+  spec = env.spec
+  states, acts = _warm_states(env, BLOCK)
 
   ref = physics.step_world_batch(spec, states, acts)
   solver = make_batched_solver(spec, interpret=True)
   pal = physics.step_world_batch(spec, states, acts, velocity_solver=solver)
 
   for field in ['v', 'w', 'c', 'a']:
+    r = np.asarray(getattr(ref, field))
+    p = np.asarray(getattr(pal, field))
+    err = np.abs(r - p).max()
+    assert err < 1e-4, f'{field} mismatch {err}'
+
+
+@pytest.mark.parametrize('env_name', ['UrchinBall', 'LuxoCube'])
+def test_pallas_substep_solver_matches_jnp(env_name):
+  """The fused substep kernel (velocity + integrate + NGS position) must
+  reproduce the jnp path including warm-start caches and joint impulses."""
+  env = boxlcd_tpu.env_map[env_name]()
+  spec = env.spec
+  states, acts = _warm_states(env, BLOCK)
+
+  ref = physics.step_world_batch(spec, states, acts)
+  solver = make_substep_solver(spec, interpret=True)
+  pal = physics.step_world_batch(spec, states, acts, substep_solver=solver)
+
+  for field in ['v', 'w', 'c', 'a', 'wc_imp', 'pc_imp', 'j_imp', 'j_mot',
+                'j_lim', 'sleep_time']:
     r = np.asarray(getattr(ref, field))
     p = np.asarray(getattr(pal, field))
     err = np.abs(r - p).max()
