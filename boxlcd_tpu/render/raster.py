@@ -455,8 +455,14 @@ def _lcd_render_fn(spec: WorldSpec, width: int, height: int):
   def rule(axis_size, in_batched, ic, c, a):
     ic, c, a = [x if bb else jnp.broadcast_to(x, (axis_size, *x.shape))
                 for x, bb in zip((ic, c, a), in_batched)]
+    import os
     if (jax.default_backend() != 'cpu' and width <= 32 and c.ndim == 3
-        and _tables(spec, width, height)[1] is not None):
+        and _tables(spec, width, height)[1] is not None
+        and bool(int(os.environ.get('BOXLCD_RASTER_KERNEL', '1')))):
+      # BOXLCD_RASTER_KERNEL=0 keeps the pure-XLA scanline even on TPU:
+      # through the axon tunnel a pallas_call inside a lax.scan body costs
+      # ~18 ms/iteration (PROGRESS.md round 3), so scan-of-render workloads
+      # (datagen) want the XLA path; standalone renders want the kernel.
       from boxlcd_tpu.render.pallas_raster import make_batched_render
       out = make_batched_render(spec, width, height)(ic, c, a)
     else:
