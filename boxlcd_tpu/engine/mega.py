@@ -1,0 +1,700 @@
+"""Rollout megakernel: T env steps inside ONE Pallas program.
+
+Why: on this stack every XLA kernel launch and every executable dispatch
+carries a large fixed overhead (per-step scan cost ~19 ms at 4096 worlds
+regardless of iteration counts — PROGRESS.md round 3 audit), so the
+sequential-impulse step, which lowers to thousands of tiny kernels, is
+overhead-bound by ~1000x. This module fuses the ENTIRE rollout — per step:
+velocity integration, wall narrowphase, warm-start matching, constraint
+init, `vel_iters` Gauss-Seidel velocity iterations (joints + 2-point block
+LCP wall contacts), position integration, `pos_iters` NGS position
+iterations, and island sleeping, times `substeps` — into one Pallas TPU
+kernel that loops over T steps in VMEM and streams per-step poses out.
+Launch cost is paid once per rollout instead of ~10^4 times.
+
+Scope (v1): envs with no body-body collision pairs and no per-episode
+random shapes — which covers the headline robots (Urchin, Luxo; the
+reference benchmarks those in world_env.py:446-452). `supports(spec)`
+reports eligibility; callers fall back to physics.step_world_batch.
+
+Layout: worlds on the vector axes — every per-world scalar is one
+(8, 128) f32 VMEM tile, one grid program owns 1024 worlds (same scheme as
+engine/pallas_solver.py). All topology (bodies, walls, joints, vertex
+counts) unrolls statically; Box2D constants and per-body masses bake in as
+Python floats. Semantics mirror physics.py stage by stage (which is
+golden-tested against real pybox2d); equality is asserted in
+tests/test_mega.py via interpret mode.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from boxlcd_tpu.engine.collision import POLY_RADIUS
+from boxlcd_tpu.engine.physics import (
+    ANGULAR_SLOP, BAUMGARTE, LINEAR_SLOP, MAX_ANGULAR_CORRECTION,
+    MAX_LINEAR_CORRECTION, TIME_TO_SLEEP, LIN_SLEEP_TOL_SQ, ANG_SLEEP_TOL_SQ,
+    VELOCITY_THRESHOLD, WorldState, _block_lcp)
+from boxlcd_tpu.engine.spec import CIRCLE, POLY, WorldSpec
+
+SUB, LANE = 8, 128
+BLOCK = SUB * LANE
+BIG = 1e9
+
+
+def supports(spec: WorldSpec) -> bool:
+  """v1 gate: fixed shapes, no active pairs."""
+  return (int(np.sum(spec.pair_valid)) == 0
+          and all(int(s) in (CIRCLE, POLY) for s in spec.shape_static))
+
+
+def _to_tiles(x, B):
+  """(B, *S) -> (*S, B/128, 128)."""
+  s = x.shape[1:]
+  return jnp.moveaxis(x, 0, -1).reshape(*s, B // LANE, LANE)
+
+
+def _from_tiles(x, B):
+  s = x.shape[:-2]
+  return jnp.moveaxis(x.reshape(*s, B), -1, 0)
+
+
+def _build_kernel(spec: WorldSpec, T: int):
+  """Returns (kernel_fn, in_fields, out_traj_slots). State tuples are flat
+  Python lists of (8,128) tiles; all topology is static."""
+  n = spec.n
+  nw = len(spec.wall_offset)
+  jn_pad = len(spec.j_parent)
+  jn = spec.jn
+  dt = float(spec.dt)
+  substeps = int(spec.substeps)
+  vel_iters = int(spec.vel_iters)
+  pos_iters = int(spec.pos_iters)
+  gx, gy = float(spec.gravity[0]), float(spec.gravity[1])
+  allow_sleep = bool(spec.allow_sleep)
+
+  is_circ = [int(spec.shape_static[i]) == CIRCLE for i in range(n)]
+  shape_col = [0 if ic else 1 for ic in is_circ]
+  inv_m = [float(spec.inv_m[i, shape_col[i]]) for i in range(n)]
+  inv_i = [float(spec.inv_i[i, shape_col[i]]) for i in range(n)]
+  lc = [tuple(map(float, spec.local_center[i, shape_col[i]]))
+        for i in range(n)]
+  radius = [float(spec.radius[i]) for i in range(n)]
+  lin_damp = [float(spec.lin_damp[i]) for i in range(n)]
+  ang_damp = [float(spec.ang_damp[i]) for i in range(n)]
+  mu = [float(np.sqrt(0.2 * spec.friction[i])) for i in range(n)]
+  rest = [float(spec.restitution[i]) for i in range(n)]
+  nverts = [int(spec.nverts[i]) for i in range(n)]
+  # polygon vertices about the center of mass (com frame), and face normals
+  verts_com = [[(float(spec.verts[i, v, 0] - lc[i][0]),
+                 float(spec.verts[i, v, 1] - lc[i][1]))
+                for v in range(nverts[i])] for i in range(n)]
+  wall_n = [(float(spec.wall_normal[wi, 0]), float(spec.wall_normal[wi, 1]))
+            for wi in range(nw)]
+  wall_off = [float(spec.wall_offset[wi]) for wi in range(nw)]
+
+  joints = []
+  for j in range(jn):
+    pa, ch = int(spec.j_parent[j]), int(spec.j_child[j])
+    joints.append(dict(
+        j=j, pa=pa, ch=ch,
+        anc_a=(float(spec.j_anchor_a[j, 0] - lc[pa][0]),
+               float(spec.j_anchor_a[j, 1] - lc[pa][1])),
+        anc_b=(float(spec.j_anchor_b[j, 0] - lc[ch][0]),
+               float(spec.j_anchor_b[j, 1] - lc[ch][1])),
+        lower=float(spec.j_lower[j]), upper=float(spec.j_upper[j]),
+        limited=bool(spec.j_limited[j]),
+        equal=bool(spec.j_limited[j] and spec.j_lower[j] == spec.j_upper[j]),
+        torque=float(spec.j_torque[j]),
+        mA=inv_m[pa], mB=inv_m[ch], iA=inv_i[pa], iB=inv_i[ch]))
+    axm_raw = inv_i[pa] + inv_i[ch]
+    joints[-1]['axmass'] = (1.0 / axm_raw) if axm_raw > 0 else 0.0
+
+  # static sleep islands (joint graph only — valid because no pairs)
+  label = list(range(n))
+  for jd in joints:
+    a, b = label[jd['pa']], label[jd['ch']]
+    lo, hi = min(a, b), max(a, b)
+    label = [lo if l == hi else l for l in label]
+  islands = {}
+  for i, l in enumerate(label):
+    islands.setdefault(l, []).append(i)
+  islands = list(islands.values())
+
+  ANG_SLOP = float(ANGULAR_SLOP)
+  MAX_ACORR = float(MAX_ANGULAR_CORRECTION)
+
+  def wslot(i, wi, k):
+    return (i * nw + wi) * 2 + k
+
+  def kernel(c_ref, a_ref, v_ref, w_ref, wci_ref, wcid_ref, ji_ref, jm_ref,
+             jl_ref, js_ref, jref_ref, slp_ref, pm_ref, ms_ref,
+             c_out, a_out, v_out, w_out, wci_out, wcid_out, ji_out, jm_out,
+             jl_out, js_out, slp_out, pm_out, tr_ref):
+    # ---- load state into flat tile tuples --------------------------------
+    state0 = (
+        tuple(c_ref[i, 0] for i in range(n)),       # cx
+        tuple(c_ref[i, 1] for i in range(n)),       # cy
+        tuple(a_ref[i] for i in range(n)),          # a
+        tuple(v_ref[i, 0] for i in range(n)),       # vx
+        tuple(v_ref[i, 1] for i in range(n)),       # vy
+        tuple(w_ref[i] for i in range(n)),          # om
+        tuple(wci_ref[i, wi, k, 0] for i in range(n) for wi in range(nw)
+              for k in range(2)),                   # wcn
+        tuple(wci_ref[i, wi, k, 1] for i in range(n) for wi in range(nw)
+              for k in range(2)),                   # wct
+        tuple(wcid_ref[i, wi, k] for i in range(n) for wi in range(nw)
+              for k in range(2)),                   # wcid (f32)
+        tuple(ji_ref[j, 0] for j in range(jn_pad)),  # jix
+        tuple(ji_ref[j, 1] for j in range(jn_pad)),  # jiy
+        tuple(jm_ref[j] for j in range(jn_pad)),     # jmot
+        tuple(jl_ref[j] for j in range(jn_pad)),     # jlim
+        tuple(js_ref[j] for j in range(jn_pad)),     # jstate (f32)
+        tuple(slp_ref[i] for i in range(n)),         # sleep_time
+        tuple(pm_ref[j] for j in range(jn_pad)),     # prev_motor
+    )
+    jref = tuple(jref_ref[j] for j in range(jn_pad))
+
+    def substep(st, ms, motor_changed):
+      (cx, cy, aa, vx, vy, om, wcn, wct, wcid, jix, jiy, jmot, jlim, jstate,
+       slp, pm) = [list(x) for x in st]
+      cx0, cy0, aa0 = list(cx), list(cy), list(aa)
+
+      # ---- 1. integrate velocities + damping ----------------------------
+      for i in range(n):
+        vx[i] = (vx[i] + dt * gx) / (1.0 + dt * lin_damp[i])
+        vy[i] = (vy[i] + dt * gy) / (1.0 + dt * lin_damp[i])
+        om[i] = om[i] / (1.0 + dt * ang_damp[i])
+
+      # ---- 2. wall narrowphase ------------------------------------------
+      ca = [jnp.cos(aa[i]) for i in range(n)]
+      sa = [jnp.sin(aa[i]) for i in range(n)]
+      # world verts about com, per poly body
+      wvx = {}
+      wvy = {}
+      for i in range(n):
+        if not is_circ[i]:
+          wvx[i] = [cx[i] + ca[i] * px - sa[i] * py for px, py in verts_com[i]]
+          wvy[i] = [cy[i] + sa[i] * px + ca[i] * py for px, py in verts_com[i]]
+
+      # per-slot narrowphase results
+      m_sep = [None] * (n * nw * 2)
+      m_tch = [None] * (n * nw * 2)
+      m_ids = [None] * (n * nw * 2)
+      m_ptx = [None] * (n * nw * 2)
+      m_pty = [None] * (n * nw * 2)
+      m_lpx = [None] * (n * nw * 2)   # local anchor (com frame)
+      m_lpy = [None] * (n * nw * 2)
+      rad_sub = [[0.0] * nw for _ in range(n)]
+      for i in range(n):
+        for wi in range(nw):
+          nx, ny = wall_n[wi]
+          off = wall_off[wi]
+          if is_circ[i]:
+            sep_c = nx * cx[i] + ny * cy[i] - off - radius[i] - POLY_RADIUS
+            ptx = cx[i] - radius[i] * nx
+            pty = cy[i] - radius[i] * ny
+            z = jnp.zeros_like(sep_c)
+            vals = [(sep_c, ptx, pty, z), (jnp.full_like(sep_c, BIG), ptx,
+                                           pty, z)]
+            rad_sub[i][wi] = radius[i] + POLY_RADIUS
+            for k, (sep, px_, py_, id_) in enumerate(vals):
+              s = wslot(i, wi, k)
+              m_sep[s] = sep
+              m_tch[s] = sep <= 0.0
+              m_ids[s] = id_
+              m_ptx[s] = px_
+              m_pty[s] = py_
+              m_lpx[s] = z
+              m_lpy[s] = z
+          else:
+            nv = nverts[i]
+            seps = [nx * wvx[i][v] + ny * wvy[i][v] - off - 2 * POLY_RADIUS
+                    for v in range(nv)]
+            # stable top-2 (matches jnp.argsort tie behavior: first wins)
+            s1 = seps[0]
+            i1 = jnp.zeros_like(s1)
+            for v in range(1, nv):
+              upd = seps[v] < s1
+              s1 = jnp.where(upd, seps[v], s1)
+              i1 = jnp.where(upd, float(v), i1)
+            s2 = None
+            i2 = None
+            for v in range(nv):
+              cand = jnp.where(i1 == float(v), BIG, seps[v])
+              if s2 is None:
+                s2 = cand
+                i2 = jnp.full_like(cand, float(v))
+              else:
+                upd = cand < s2
+                s2 = jnp.where(upd, cand, s2)
+                i2 = jnp.where(upd, float(v), i2)
+            # gather the two selected vertices via select chains
+            p1x = wvx[i][0]
+            p1y = wvy[i][0]
+            p2x = wvx[i][0]
+            p2y = wvy[i][0]
+            for v in range(1, nv):
+              p1x = jnp.where(i1 == float(v), wvx[i][v], p1x)
+              p1y = jnp.where(i1 == float(v), wvy[i][v], p1y)
+            for v in range(1, nv):
+              p2x = jnp.where(i2 == float(v), wvx[i][v], p2x)
+              p2y = jnp.where(i2 == float(v), wvy[i][v], p2y)
+            rad_sub[i][wi] = 2 * POLY_RADIUS
+            for k, (sep, px_, py_, id_) in enumerate(
+                ((s1, p1x, p1y, i1), (s2, p2x, p2y, i2))):
+              s = wslot(i, wi, k)
+              m_sep[s] = sep
+              m_tch[s] = sep <= 0.0
+              m_ids[s] = id_
+              m_ptx[s] = px_
+              m_pty[s] = py_
+              # local anchor: R^T (pt - c)
+              dx, dy = px_ - cx[i], py_ - cy[i]
+              m_lpx[s] = ca[i] * dx + sa[i] * dy
+              m_lpy[s] = -sa[i] * dx + ca[i] * dy
+
+      # ---- 3. warm-start matching ---------------------------------------
+      n_wcn = [None] * (n * nw * 2)
+      n_wct = [None] * (n * nw * 2)
+      for i in range(n):
+        for wi in range(nw):
+          for k in range(2):
+            s = wslot(i, wi, k)
+            o1, o2 = wslot(i, wi, 0), wslot(i, wi, 1)
+            m1 = (m_ids[s] == wcid[o1]).astype(m_sep[s].dtype)
+            m2 = (m_ids[s] == wcid[o2]).astype(m_sep[s].dtype)
+            imp_n = m1 * wcn[o1] + m2 * wcn[o2]
+            imp_t = m1 * wct[o1] + m2 * wct[o2]
+            tchf = m_tch[s]
+            n_wcn[s] = jnp.where(tchf, imp_n, 0.0)
+            n_wct[s] = jnp.where(tchf, imp_t, 0.0)
+      wcn, wct = n_wcn, n_wct
+
+      # ---- 4. constraint init (walls) -----------------------------------
+      w_rBx = [None] * (n * nw * 2)
+      w_rBy = [None] * (n * nw * 2)
+      w_nm = [None] * (n * nw * 2)
+      w_tm = [None] * (n * nw * 2)
+      w_bias = [None] * (n * nw * 2)
+      w_k = [None] * (n * nw * 2)          # raw kn per point
+      w_k12 = [None] * (n * nw)
+      w_blk = [None] * (n * nw)
+      w_vtch = [None] * (n * nw * 2)
+      for i in range(n):
+        im, ii = inv_m[i], inv_i[i]
+        for wi in range(nw):
+          nx, ny = wall_n[wi]
+          tx, ty = ny, -nx
+          rn = [None, None]
+          kn = [None, None]
+          kt = [None, None]
+          for k in range(2):
+            s = wslot(i, wi, k)
+            rBx = m_ptx[s] - cx[i]
+            rBy = m_pty[s] - cy[i]
+            w_rBx[s], w_rBy[s] = rBx, rBy
+            rn[k] = rBx * ny - rBy * nx
+            kn[k] = im + ii * rn[k] * rn[k]
+            rt = rBx * ty - rBy * tx
+            kt[k] = im + ii * rt * rt
+          k12 = im + ii * rn[0] * rn[1]
+          det = kn[0] * kn[1] - k12 * k12
+          cond = kn[0] * kn[0] < 1000.0 * det
+          both = m_tch[wslot(i, wi, 0)] & m_tch[wslot(i, wi, 1)]
+          blk = both & cond
+          degrade = both & ~cond
+          vtch = [m_tch[wslot(i, wi, 0)],
+                  m_tch[wslot(i, wi, 1)] & ~degrade]
+          w_k12[i * nw + wi] = k12
+          w_blk[i * nw + wi] = blk
+          for k in range(2):
+            s = wslot(i, wi, k)
+            w_vtch[s] = vtch[k]
+            wcn[s] = jnp.where(vtch[k], wcn[s], 0.0)
+            wct[s] = jnp.where(vtch[k], wct[s], 0.0)
+            w_k[s] = kn[k]
+            w_nm[s] = jnp.where(vtch[k], 1.0 / jnp.maximum(kn[k], 1e-12), 0.0)
+            w_tm[s] = jnp.where(vtch[k], 1.0 / jnp.maximum(kt[k], 1e-12), 0.0)
+            vn0 = ((vx[i] - om[i] * w_rBy[s]) * nx
+                   + (vy[i] + om[i] * w_rBx[s]) * ny)
+            w_bias[s] = jnp.where(vn0 < -VELOCITY_THRESHOLD,
+                                  -rest[i] * vn0, 0.0)
+
+      # ---- joints presolve ----------------------------------------------
+      j_rAx = [None] * jn_pad
+      j_rAy = [None] * jn_pad
+      j_rBx = [None] * jn_pad
+      j_rBy = [None] * jn_pad
+      for jd in joints:
+        j, pa, ch = jd['j'], jd['pa'], jd['ch']
+        ax_, ay_ = jd['anc_a']
+        bx_, by_ = jd['anc_b']
+        j_rAx[j] = ca[pa] * ax_ - sa[pa] * ay_
+        j_rAy[j] = sa[pa] * ax_ + ca[pa] * ay_
+        j_rBx[j] = ca[ch] * bx_ - sa[ch] * by_
+        j_rBy[j] = sa[ch] * bx_ + ca[ch] * by_
+        ang = aa[ch] - aa[pa] - jref[j]
+        if not jd['limited']:
+          st_new = jnp.zeros_like(ang)
+        elif jd['equal']:
+          st_new = jnp.full_like(ang, 3.0)
+        else:
+          st_new = jnp.where(ang <= jd['lower'] + ANG_SLOP, 1.0,
+                             jnp.where(ang >= jd['upper'] - ANG_SLOP, 2.0,
+                                       0.0))
+        jlim[j] = jnp.where(st_new == jstate[j], jlim[j], 0.0)
+        jstate[j] = st_new
+
+      # ---- 5. warm start ------------------------------------------------
+      for i in range(n):
+        im, ii = inv_m[i], inv_i[i]
+        for wi in range(nw):
+          nx, ny = wall_n[wi]
+          tx, ty = ny, -nx
+          for k in range(2):
+            s = wslot(i, wi, k)
+            Px = wcn[s] * nx + wct[s] * tx
+            Py = wcn[s] * ny + wct[s] * ty
+            vx[i] = vx[i] + im * Px
+            vy[i] = vy[i] + im * Py
+            om[i] = om[i] + ii * (w_rBx[s] * Py - w_rBy[s] * Px)
+      for jd in joints:
+        j, pa, ch = jd['j'], jd['pa'], jd['ch']
+        ax_imp = jmot[j] + jlim[j]
+        vx[pa] = vx[pa] - jd['mA'] * jix[j]
+        vy[pa] = vy[pa] - jd['mA'] * jiy[j]
+        om[pa] = om[pa] - jd['iA'] * (
+            j_rAx[j] * jiy[j] - j_rAy[j] * jix[j] + ax_imp)
+        vx[ch] = vx[ch] + jd['mB'] * jix[j]
+        vy[ch] = vy[ch] + jd['mB'] * jiy[j]
+        om[ch] = om[ch] + jd['iB'] * (
+            j_rBx[j] * jiy[j] - j_rBy[j] * jix[j] + ax_imp)
+
+      # ---- 6. velocity iterations ---------------------------------------
+      for _ in range(vel_iters):
+        # joints (motor, limit, 2x2 point)
+        for jd in joints:
+          j, pa, ch = jd['j'], jd['pa'], jd['ch']
+          iA, iB, mA, mB = jd['iA'], jd['iB'], jd['mA'], jd['mB']
+          axm = jd['axmass']
+          if not jd['equal']:
+            cdot = om[ch] - om[pa] - ms[j]
+            imp = -axm * cdot
+            cap = jd['torque'] * dt
+            new = jnp.clip(jmot[j] + imp, -cap, cap)
+            d = new - jmot[j]
+            jmot[j] = new
+            om[pa] = om[pa] - iA * d
+            om[ch] = om[ch] + iB * d
+          cdot = om[ch] - om[pa]
+          imp = -axm * cdot
+          acc = jlim[j] + imp
+          acc = jnp.where(jstate[j] == 1.0, jnp.maximum(acc, 0.0),
+                          jnp.where(jstate[j] == 2.0, jnp.minimum(acc, 0.0),
+                                    acc))
+          d = jnp.where(jstate[j] > 0.0, acc - jlim[j], 0.0)
+          jlim[j] = jlim[j] + d
+          om[pa] = om[pa] - iA * d
+          om[ch] = om[ch] + iB * d
+          # 2x2 point constraint
+          cdx = vx[ch] - om[ch] * j_rBy[j] - (vx[pa] - om[pa] * j_rAy[j])
+          cdy = vy[ch] + om[ch] * j_rBx[j] - (vy[pa] + om[pa] * j_rAx[j])
+          k11 = mA + mB + iA * j_rAy[j] ** 2 + iB * j_rBy[j] ** 2
+          k12 = -iA * j_rAx[j] * j_rAy[j] - iB * j_rBx[j] * j_rBy[j]
+          k22 = mA + mB + iA * j_rAx[j] ** 2 + iB * j_rBx[j] ** 2
+          det = k11 * k22 - k12 * k12
+          det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+          px = -(k22 * cdx - k12 * cdy) / det
+          py = -(k11 * cdy - k12 * cdx) / det
+          jix[j] = jix[j] + px
+          jiy[j] = jiy[j] + py
+          vx[pa] = vx[pa] - mA * px
+          vy[pa] = vy[pa] - mA * py
+          vx[ch] = vx[ch] + mB * px
+          vy[ch] = vy[ch] + mB * py
+          om[pa] = om[pa] - iA * (j_rAx[j] * py - j_rAy[j] * px)
+          om[ch] = om[ch] + iB * (j_rBx[j] * py - j_rBy[j] * px)
+        # wall contacts: friction both points, then normal block pair
+        for wi in range(nw):
+          nx, ny = wall_n[wi]
+          tx, ty = ny, -nx
+          for i in range(n):
+            im, ii = inv_m[i], inv_i[i]
+            for k in range(2):
+              s = wslot(i, wi, k)
+              dvx = vx[i] - om[i] * w_rBy[s]
+              dvy = vy[i] + om[i] * w_rBx[s]
+              vt = dvx * tx + dvy * ty
+              lam = -w_tm[s] * vt
+              maxf = mu[i] * wcn[s]
+              new = jnp.clip(wct[s] + lam, -maxf, maxf)
+              d = new - wct[s]
+              wct[s] = new
+              vx[i] = vx[i] + im * d * tx
+              vy[i] = vy[i] + im * d * ty
+              om[i] = om[i] + ii * (w_rBx[s] * d * ty - w_rBy[s] * d * tx)
+            s1, s2 = wslot(i, wi, 0), wslot(i, wi, 1)
+            a1, a2 = wcn[s1], wcn[s2]
+            # sequential candidate
+            vxs, vys, oms = vx[i], vy[i], om[i]
+            d_seq = []
+            for k, s in enumerate((s1, s2)):
+              vn = ((vxs - oms * w_rBy[s]) * nx + (vys + oms * w_rBx[s]) * ny)
+              lam = -w_nm[s] * (vn - w_bias[s])
+              acc = (a1, a2)[k]
+              new = jnp.maximum(acc + lam, 0.0)
+              dk = new - acc
+              d_seq.append(dk)
+              vxs = vxs + im * dk * nx
+              vys = vys + im * dk * ny
+              oms = oms + ii * (w_rBx[s] * dk * ny - w_rBy[s] * dk * nx)
+            # block candidate
+            vn1 = ((vx[i] - om[i] * w_rBy[s1]) * nx
+                   + (vy[i] + om[i] * w_rBx[s1]) * ny)
+            vn2 = ((vx[i] - om[i] * w_rBy[s2]) * nx
+                   + (vy[i] + om[i] * w_rBx[s2]) * ny)
+            d1b, d2b = _block_lcp(
+                vn1 - w_bias[s1], vn2 - w_bias[s2], a1, a2,
+                w_k[s1], w_k[s2], w_k12[i * nw + wi],
+                w_nm[s1], w_nm[s2])
+            blk = w_blk[i * nw + wi]
+            d1 = jnp.where(blk, d1b, d_seq[0])
+            d2 = jnp.where(blk, d2b, d_seq[1])
+            vx[i] = vx[i] + im * (d1 + d2) * nx
+            vy[i] = vy[i] + im * (d1 + d2) * ny
+            om[i] = om[i] + ii * ((w_rBx[s1] * ny - w_rBy[s1] * nx) * d1
+                                  + (w_rBx[s2] * ny - w_rBy[s2] * nx) * d2)
+            wcn[s1] = a1 + d1
+            wcn[s2] = a2 + d2
+
+      # ---- 7. integrate positions ---------------------------------------
+      for i in range(n):
+        cx[i] = cx[i] + dt * vx[i]
+        cy[i] = cy[i] + dt * vy[i]
+        aa[i] = aa[i] + dt * om[i]
+
+      # ---- 8. NGS position iterations (contacts, then joints) -----------
+      for _ in range(pos_iters):
+        for idx in range(nw * 2):
+          wi, k = idx // 2, idx % 2
+          nx, ny = wall_n[wi]
+          off = wall_off[wi]
+          for i in range(n):
+            im, ii = inv_m[i], inv_i[i]
+            ca_, sa_ = jnp.cos(aa[i]), jnp.sin(aa[i])
+            s = wslot(i, wi, k)
+            ptx = cx[i] + ca_ * m_lpx[s] - sa_ * m_lpy[s]
+            pty = cy[i] + sa_ * m_lpx[s] + ca_ * m_lpy[s]
+            sep = ptx * nx + pty * ny - off - rad_sub[i][wi]
+            C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP),
+                         -MAX_LINEAR_CORRECTION, 0.0)
+            rBx, rBy = ptx - cx[i], pty - cy[i]
+            crn = rBx * ny - rBy * nx
+            kn = im + ii * crn * crn
+            imp = jnp.where(m_tch[s], -C / jnp.maximum(kn, 1e-12), 0.0)
+            cx[i] = cx[i] + im * imp * nx
+            cy[i] = cy[i] + im * imp * ny
+            aa[i] = aa[i] + ii * crn * imp
+        for jd in joints:
+          j, pa, ch = jd['j'], jd['pa'], jd['ch']
+          iA, iB, mA, mB = jd['iA'], jd['iB'], jd['mA'], jd['mB']
+          ang = aa[ch] - aa[pa] - jref[j]
+          c_eq = jnp.clip(ang - jd['lower'], -MAX_ACORR, MAX_ACORR)
+          c_lo = jnp.clip(ang - jd['lower'] + ANG_SLOP, -MAX_ACORR, 0.0)
+          c_hi = jnp.clip(ang - jd['upper'] - ANG_SLOP, 0.0, MAX_ACORR)
+          C = jnp.where(jstate[j] == 3.0, c_eq,
+                        jnp.where(jstate[j] == 1.0, c_lo,
+                                  jnp.where(jstate[j] == 2.0, c_hi, 0.0)))
+          d = -jd['axmass'] * C
+          aa[pa] = aa[pa] - iA * d
+          aa[ch] = aa[ch] + iB * d
+          ca_, sa_ = jnp.cos(aa[pa]), jnp.sin(aa[pa])
+          cb_, sb_ = jnp.cos(aa[ch]), jnp.sin(aa[ch])
+          ax_, ay_ = jd['anc_a']
+          bx_, by_ = jd['anc_b']
+          rAx = ca_ * ax_ - sa_ * ay_
+          rAy = sa_ * ax_ + ca_ * ay_
+          rBx = cb_ * bx_ - sb_ * by_
+          rBy = sb_ * bx_ + cb_ * by_
+          Cvx = cx[ch] + rBx - cx[pa] - rAx
+          Cvy = cy[ch] + rBy - cy[pa] - rAy
+          k11 = mA + mB + iA * rAy * rAy + iB * rBy * rBy
+          k12 = -iA * rAx * rAy - iB * rBx * rBy
+          k22 = mA + mB + iA * rAx * rAx + iB * rBx * rBx
+          det = k11 * k22 - k12 * k12
+          det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+          px = -(k22 * Cvx - k12 * Cvy) / det
+          py = -(k11 * Cvy - k12 * Cvx) / det
+          cx[pa] = cx[pa] - mA * px
+          cy[pa] = cy[pa] - mA * py
+          cx[ch] = cx[ch] + mB * px
+          cy[ch] = cy[ch] + mB * py
+          aa[pa] = aa[pa] - iA * (rAx * py - rAy * px)
+          aa[ch] = aa[ch] + iB * (rBx * py - rBy * px)
+
+      # ---- 9. sleeping (static islands: joint graph, no pairs) ----------
+      if allow_sleep:
+        forced = [jnp.zeros_like(slp[i]) > 1.0 for i in range(n)]
+        for jd in joints:
+          mc = motor_changed[jd['j']]
+          forced[jd['pa']] = forced[jd['pa']] | mc
+          forced[jd['ch']] = forced[jd['ch']] | mc
+        for i in range(n):
+          slow = ((vx[i] * vx[i] + vy[i] * vy[i] <= LIN_SLEEP_TOL_SQ)
+                  & (om[i] * om[i] <= float(ANG_SLEEP_TOL_SQ)))
+          slp[i] = jnp.where(slow & ~forced[i], slp[i] + dt, 0.0)
+        for isl in islands:
+          mn = slp[isl[0]]
+          for i in isl[1:]:
+            mn = jnp.minimum(mn, slp[i])
+          asleep = mn >= TIME_TO_SLEEP
+          for i in isl:
+            vx[i] = jnp.where(asleep, 0.0, vx[i])
+            vy[i] = jnp.where(asleep, 0.0, vy[i])
+            om[i] = jnp.where(asleep, 0.0, om[i])
+            cx[i] = jnp.where(asleep, cx0[i], cx[i])
+            cy[i] = jnp.where(asleep, cy0[i], cy[i])
+            aa[i] = jnp.where(asleep, aa0[i], aa[i])
+
+      # ---- 10. warm-start cache writeback -------------------------------
+      for s in range(n * nw * 2):
+        wcn[s] = jnp.where(m_tch[s], wcn[s], 0.0)
+        wct[s] = jnp.where(m_tch[s], wct[s], 0.0)
+        wcid[s] = jnp.where(m_tch[s], m_ids[s], -1.0)
+
+      return tuple(tuple(x) for x in
+                   (cx, cy, aa, vx, vy, om, wcn, wct, wcid, jix, jiy, jmot,
+                    jlim, jstate, slp, pm))
+
+    def step_body(t, st):
+      ms = [ms_ref[t, j] for j in range(jn_pad)]
+      pm = st[15]
+      motor_changed = [None] * jn_pad
+      for j in range(jn_pad):
+        valid = bool(spec.j_valid[j])
+        motor_changed[j] = (ms[j] != pm[j]) if valid \
+            else (ms[j] != ms[j])  # False
+      for _ in range(substeps):
+        st = substep(st, ms, motor_changed)
+      st = st[:15] + (tuple(ms),)
+      # stream per-step poses + velocities for the obs pipeline
+      cx, cy, aa, vx, vy, om = st[0], st[1], st[2], st[3], st[4], st[5]
+      for i in range(n):
+        tr_ref[t, i, 0] = cx[i]
+        tr_ref[t, i, 1] = cy[i]
+        tr_ref[t, i, 2] = aa[i]
+        tr_ref[t, i, 3] = vx[i]
+        tr_ref[t, i, 4] = vy[i]
+        tr_ref[t, i, 5] = om[i]
+      return st
+
+    st = jax.lax.fori_loop(0, T, step_body, state0)
+    (cx, cy, aa, vx, vy, om, wcn, wct, wcid, jix, jiy, jmot, jlim, jstate,
+     slp, pm) = st
+    for i in range(n):
+      c_out[i, 0] = cx[i]
+      c_out[i, 1] = cy[i]
+      a_out[i] = aa[i]
+      v_out[i, 0] = vx[i]
+      v_out[i, 1] = vy[i]
+      w_out[i] = om[i]
+      slp_out[i] = slp[i]
+    for i in range(n):
+      for wi in range(nw):
+        for k in range(2):
+          s = wslot(i, wi, k)
+          wci_out[i, wi, k, 0] = wcn[s]
+          wci_out[i, wi, k, 1] = wct[s]
+          wcid_out[i, wi, k] = wcid[s]
+    for j in range(jn_pad):
+      ji_out[j, 0] = jix[j]
+      ji_out[j, 1] = jiy[j]
+      jm_out[j] = jmot[j]
+      jl_out[j] = jlim[j]
+      js_out[j] = jstate[j]
+      pm_out[j] = pm[j]
+
+  return kernel
+
+
+def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
+  """Returns rollout(states, motor_speed) -> (states', traj) where
+  motor_speed is (T, B, J) and traj is a dict of (T, B, ...) pose arrays.
+  states is a batched WorldState (leading worlds axis)."""
+  assert supports(spec), 'megakernel v1: pairless fixed-shape envs only'
+  kernel = _build_kernel(spec, T)
+  n = spec.n
+  nw = len(spec.wall_offset)
+  jn_pad = len(spec.j_parent)
+
+  def rollout(states: WorldState, motor_speed):
+    B = states.c.shape[0]
+    assert B % BLOCK == 0, f'B={B} must be a multiple of {BLOCK}'
+
+    def prep(x):
+      if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+      return _to_tiles(x, B)
+
+    # motor_speed (T,B,J) -> (B,T,J) -> tiles (T,J,B/128,128)
+    ins = [prep(states.c), prep(states.a), prep(states.v), prep(states.w),
+           prep(states.wc_imp), prep(states.wc_id), prep(states.j_imp),
+           prep(states.j_mot), prep(states.j_lim), prep(states.j_state),
+           prep(states.j_ref), prep(states.sleep_time),
+           prep(states.prev_motor),
+           _to_tiles(motor_speed.astype(jnp.float32).transpose(1, 0, 2), B)]
+
+    grid = (B // BLOCK,)
+
+    def spec_for(x):
+      s = x.shape[:-2]
+      return pl.BlockSpec(
+          (*s, SUB, LANE),
+          (lambda g, nl=len(s): (0,) * nl + (g, 0)),
+          memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(ins[0].shape, jnp.float32),   # c
+        jax.ShapeDtypeStruct(ins[1].shape, jnp.float32),   # a
+        jax.ShapeDtypeStruct(ins[2].shape, jnp.float32),   # v
+        jax.ShapeDtypeStruct(ins[3].shape, jnp.float32),   # w
+        jax.ShapeDtypeStruct(ins[4].shape, jnp.float32),   # wc_imp
+        jax.ShapeDtypeStruct(ins[5].shape, jnp.float32),   # wc_id
+        jax.ShapeDtypeStruct(ins[6].shape, jnp.float32),   # j_imp
+        jax.ShapeDtypeStruct(ins[7].shape, jnp.float32),   # j_mot
+        jax.ShapeDtypeStruct(ins[8].shape, jnp.float32),   # j_lim
+        jax.ShapeDtypeStruct(ins[9].shape, jnp.float32),   # j_state
+        jax.ShapeDtypeStruct(ins[11].shape, jnp.float32),  # sleep_time
+        jax.ShapeDtypeStruct(ins[12].shape, jnp.float32),  # prev_motor
+        jax.ShapeDtypeStruct((T, n, 6, B // LANE, LANE), jnp.float32),  # traj
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_for(x) for x in ins],
+        out_specs=[spec_for(jnp.zeros(o.shape, o.dtype)) for o in out_shapes],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*ins)
+    (c, a, v, w, wci, wcid, ji, jm, jl, js, slp, pm, tr) = outs
+    new_states = states._replace(
+        c=_from_tiles(c, B), a=_from_tiles(a, B), v=_from_tiles(v, B),
+        w=_from_tiles(w, B),
+        wc_imp=_from_tiles(wci, B),
+        wc_id=_from_tiles(wcid, B).astype(states.wc_id.dtype),
+        j_imp=_from_tiles(ji, B), j_mot=_from_tiles(jm, B),
+        j_lim=_from_tiles(jl, B),
+        j_state=_from_tiles(js, B).astype(states.j_state.dtype),
+        sleep_time=_from_tiles(slp, B),
+        prev_motor=_from_tiles(pm, B),
+        ep_t=states.ep_t + T)
+    # traj tiles (T, n, 6, B/128, 128) -> (T, B, n, 6)
+    traj = jnp.moveaxis(tr.reshape(T, n, 6, B), -1, 1)
+    return new_states, {'c': traj[..., 0:2], 'a': traj[..., 2],
+                        'v': traj[..., 3:5], 'w': traj[..., 5]}
+
+  return rollout

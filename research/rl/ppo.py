@@ -93,7 +93,7 @@ class PPO(RLAlgo):
     return {self.G.state_key: jnp.asarray(o[self.G.state_key], jnp.float32),
             self.goal_key: jnp.asarray(o[self.goal_key], jnp.float32)}
 
-  def save(self, direc):
+  def save(self, direc, name='ppo.pkl'):
     """Checkpoint actor-critic + opt states (reference: pponets.py:117-130)."""
     import pickle
     from pathlib import Path
@@ -104,9 +104,9 @@ class PPO(RLAlgo):
             'pi_state': flax.serialization.to_bytes(self.pi_state),
             'v_state': flax.serialization.to_bytes(self.v_state),
             'key': np.asarray(self.key), 'G': dict(self.G)}
-    with open(direc / 'ppo.pkl', 'wb') as f:
+    with open(direc / name, 'wb') as f:
       pickle.dump(blob, f)
-    print('SAVED PPO', direc / 'ppo.pkl')
+    print('SAVED PPO', direc / name)
 
   def load(self, direc):
     import pickle
@@ -173,6 +173,125 @@ class PPO(RLAlgo):
     (self.env.states, self.env.goals, traj, last_v) = self._rollout(
         self.params, self.env.states, self.env.goals, k,
         self.steps_per_epoch)
+    return self._store_traj(traj, last_v, ep_ret, ep_len)
+
+  def _build_fused_lenv(self):
+    """One-dispatch dream-epoch rollout: policy + model onestep + body-goal
+    reward scanned on device. Mirrors RewardLenv(LearnedEnv) exactly —
+    window ring + ptr/slide (reference: learned_env.py:83-96), timeout
+    full-reset with fresh real-env prompts, per-row goal resampling on
+    success — but with zero per-step host round trips (the stateful dream
+    loop costs ~20 ms tunnel RTT per jit dispatch; a 64-step epoch was
+    ~330 s, PROGRESS.md round 2)."""
+    from boxlcd_tpu.envs.env import Env as _Env
+    G = self.G
+    renv = self.env                 # RewardLenv
+    lenv = renv.lenv                # LearnedEnv
+    raw = lenv.raw_env
+    model = lenv.model
+    ac = self.ac
+    W = lenv.window
+    B = lenv.num_envs
+    bidx = renv._bidx
+    temp = float(G.get('lenv_temp', 1.0))
+    ep_len = int(G.ep_len)
+
+    def sample_obs(k):  # prompts and goals both come from real-env resets
+      return _Env.observe(raw, _Env.reset(raw, k))
+
+    def fresh_wb(keys):
+      prompts = jax.vmap(sample_obs)(keys)
+      wb = {'lcd': jnp.zeros((B, W, *raw.observation_space['lcd'].shape)),
+            'proprio': jnp.zeros((B, W, max(1, raw.pobs_size))),
+            'action': jnp.zeros((B, W, raw.act_size))}
+      for kk in ('lcd', 'proprio'):
+        wb[kk] = wb[kk].at[:, 0].set(prompts[kk].astype(jnp.float32))
+      return wb
+
+    def sample_goals(keys):
+      obs = jax.vmap(sample_obs)(keys)
+      return {'goal:lcd': obs['lcd'].astype(jnp.float32),
+              'goal:proprio': obs['proprio']}
+
+    def net_obs(wb, idx, goals):
+      pro = jax.lax.dynamic_slice_in_dim(wb['proprio'], idx, 1, axis=1)[:, 0]
+      return {G.state_key: pro, self.goal_key: goals['goal:proprio']}, pro
+
+    def rollout(params, mparams, wb, ptr, ep_t, goals, key, steps):
+      def body(carry, k):
+        wb, ptr, ep_t, goals = carry
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        o, _ = net_obs(wb, ptr - 1, goals)
+        mu, std = ac.apply(params, o, method='policy')
+        a = mu + std * jax.random.normal(k1, mu.shape)
+        logp = gaussian_logp(mu, std, a)
+        v = ac.apply(params, o, method='value')
+        # LearnedEnv.step
+        wb = dict(wb)
+        wb['action'] = jax.lax.dynamic_update_slice_in_dim(
+            wb['action'], a[:, None].astype(wb['action'].dtype), ptr - 1,
+            axis=1)
+        wb = model.onestep(mparams, wb, ptr, k2, temp)
+        npro = jax.lax.dynamic_slice_in_dim(
+            wb['proprio'], ptr, 1, axis=1)[:, 0]
+        ptr2 = jnp.minimum(ptr + 1, W - 1)
+        slide = ptr2 == W - 1
+        wb_slid = {kk: jnp.concatenate([vv[:, 1:], jnp.zeros_like(vv[:, :1])],
+                                       axis=1) for kk, vv in wb.items()}
+        wb = jax.tree_util.tree_map(
+            lambda aa, bb: jnp.where(slide, bb, aa), wb, wb_slid)
+        ptr2 = jnp.where(slide, ptr2 - 1, ptr2)
+        ep_t2 = ep_t + 1
+        timeout = ep_t2 >= ep_len                      # scalar (lockstep)
+        # RewardLenv body-goal reward
+        delta = jnp.abs(goals['goal:proprio'][:, bidx]
+                        - npro[:, bidx]).mean(-1)
+        goal_done = delta < G.goal_thresh
+        tvec = jnp.broadcast_to(timeout, (B,))
+        success = goal_done & ~tvec
+        rew = (-delta + success) * G.rew_scale
+        done = tvec | goal_done
+        # autoreset: full reset on (lockstep) timeout; goals on success
+        wb_new = fresh_wb(jax.random.split(k3, B))
+        wb = jax.tree_util.tree_map(
+            lambda aa, bb: jnp.where(timeout, bb, aa), wb, wb_new)
+        ptr2 = jnp.where(timeout, 1, ptr2)
+        ep_t2 = jnp.where(timeout, 0, ep_t2)
+        gnew = sample_goals(jax.random.split(k4, B))
+        gmask = goal_done | tvec
+        goals = {kk: jnp.where(gmask.reshape((B,) + (1,) * (vv.ndim - 1)),
+                               gnew[kk], vv) for kk, vv in goals.items()}
+        return (wb, ptr2, ep_t2, goals), (o, a, rew, v, logp, done, success)
+
+      (wb, ptr, ep_t, goals), traj = jax.lax.scan(
+          body, (wb, ptr, ep_t, goals), jax.random.split(key, steps))
+      o, _ = net_obs(wb, ptr - 1, goals)
+      last_v = ac.apply(params, o, method='value')
+      return wb, ptr, ep_t, goals, traj, last_v
+
+    self._lenv_rollout = jax.jit(rollout, static_argnums=7)
+    self._lenv_state = None
+
+  def _run_fused_lenv_epoch(self, ep_ret, ep_len_acc):
+    """Collect one dream epoch on device and feed the host GAE buffer."""
+    G = self.G
+    if self._lenv_state is None:
+      self.env.reset()                      # stateful init for parity
+      lenv = self.env.lenv
+      self._lenv_state = (lenv.window_batch, jnp.int32(lenv.ptr),
+                          jnp.int32(lenv.ep_t),
+                          dict(self.env.goal))
+    wb, ptr, ep_t, goals = self._lenv_state
+    self.key, k = jax.random.split(self.key)
+    wb, ptr, ep_t, goals, traj, last_v = self._lenv_rollout(
+        self.params, self.env.lenv.model.params, wb, ptr, ep_t, goals, k,
+        self.steps_per_epoch)
+    self._lenv_state = (wb, ptr, ep_t, goals)
+    return self._store_traj(traj, last_v, ep_ret, ep_len_acc)
+
+  def _store_traj(self, traj, last_v, ep_ret, ep_len):
+    """Feed a (T, B) on-device trajectory into the host GAE buffer."""
+    G = self.G
     o_t, a_t, rew_t, v_t, logp_t, done_t, succ_t = jax.tree_util.tree_map(
         np.asarray, traj)
     last_v = np.asarray(last_v)
@@ -224,27 +343,46 @@ class PPO(RLAlgo):
           self.params, self.v_state, batch)
     self.logger['loss/v'] = float(vloss)
 
+  def _test_and_save(self, epoch):
+    """Real-env test + best-checkpoint-by-success saving: ppo.pkl is the
+    best-so-far (what eval_policy loads), ppo_last.pkl the rolling one."""
+    G = self.G
+    succ = self.test_agent(epoch)
+    if G.lenv:
+      self.test_agent(epoch, use_lenv=True)
+    utils.dump_logger(self.logger, self.writer, epoch * G.steps_per_epoch, G)
+    if succ >= getattr(self, '_best_succ', -1.0):
+      self._best_succ = succ
+      self.save(G.logdir)
+    self.save(G.logdir, name='ppo_last.pkl')
+
   def run(self):
     G = self.G
     epochs = int(G.total_steps) // G.steps_per_epoch
     fused = (not G.lenv and hasattr(self.env, '_core_step')
              and bool(G.get('fused_rollout', 1)))
+    fused_lenv = (G.lenv and bool(G.get('fused_rollout', 1))
+                  and self.goal_key == 'goal:proprio'
+                  and not G.get('preproc')
+                  and hasattr(self.env, 'lenv'))
     if fused:
       self._build_fused()
-    o = self.env.reset()
+    if fused_lenv:
+      self._build_fused_lenv()
+    o = None if fused_lenv else self.env.reset()
     ep_ret = np.zeros(G.num_envs)
     ep_len = np.zeros(G.num_envs)
     for epoch in range(epochs):
       ep_start = time.time()
-      if fused:
-        ep_ret, ep_len = self._run_fused_epoch(ep_ret, ep_len)
+      if fused or fused_lenv:
+        if fused:
+          ep_ret, ep_len = self._run_fused_epoch(ep_ret, ep_len)
+        else:
+          ep_ret, ep_len = self._run_fused_lenv_epoch(ep_ret, ep_len)
         self.update()
         self.logger['dt/epoch'] = time.time() - ep_start
         if epoch % G.test_n == 0:
-          self.test_agent(epoch)
-          utils.dump_logger(self.logger, self.writer,
-                            epoch * G.steps_per_epoch, G)
-          self.save(G.logdir)
+          self._test_and_save(epoch)
         continue
       for t in range(self.steps_per_epoch):
         a, v, logp = self.get_av(o)
@@ -276,10 +414,5 @@ class PPO(RLAlgo):
       self.update()
       self.logger['dt/epoch'] = time.time() - ep_start
       if epoch % G.test_n == 0:
-        self.test_agent(epoch)
-        if G.lenv:
-          self.test_agent(epoch, use_lenv=True)
-        utils.dump_logger(self.logger, self.writer, epoch * G.steps_per_epoch,
-                          G)
-        self.save(G.logdir)
-    self.save(G.logdir)
+        self._test_and_save(epoch)
+    self.save(G.logdir, name='ppo_last.pkl')
