@@ -38,36 +38,62 @@ from boxlcd_tpu.envs.env import Env
 REFERENCE_STEPS_PER_SEC = 1700.0  # examples/README.md:33 (CPU, single proc)
 
 
-def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
+def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3):
   """steps/s for one config; returns (steps_per_sec, solver_used)."""
+  from boxlcd_tpu.engine import mega, physics
   env = boxlcd_tpu.env_map[env_name](
       {'vel_iters': vel_iters, 'pos_iters': pos_iters,
        'raster': os.environ.get('BENCH_RASTER', 'exact')})
-  solver = None
-  if use_pallas and jax.default_backend() != 'cpu':
-    # optional: the fused Pallas solver kernels. The default is the pure-XLA
-    # jnp path — measured FASTER inside the datagen scan (668M steps/s full
-    # obs vs kernel-in-scan slowdowns; see PROGRESS.md round 3).
-    from boxlcd_tpu.engine.pallas_solver import make_substep_solver
-    solver = make_substep_solver(env.spec)
+  spec = env.spec
+  if solver_kind == 'auto':
+    solver_kind = ('mega' if mega.supports(spec) and B % mega.BLOCK == 0
+                   and jax.default_backend() != 'cpu' else 'jnp')
 
-  def one_chunk(states, key):
-    """T env steps incl. observation (lcd render + obs packing) per step."""
-    from boxlcd_tpu.engine import physics
+  if solver_kind == 'mega':
+    # the datagen fast path: ONE Pallas program runs all T steps (launch
+    # overhead amortized /T), then obs/raster packs the whole (T, B)
+    # trajectory in one vectorized pass
+    rollout = mega.make_rollout(spec, T)
+    has_act = jnp.asarray(spec.j_act >= 0)
+    idx = np.maximum(spec.j_act, 0)
+    j_speed = jnp.asarray(spec.j_speed)
+    n = spec.n
 
-    def step(carry, k):
-      states = carry
-      acts = jax.random.uniform(k, (B, env.act_size), minval=-1, maxval=1)
-      states = physics.step_world_batch(env.spec, states, acts,
-                                        substep_solver=solver)
-      obs = jax.vmap(lambda s: Env.observe(env, s))(states)
+    def one_chunk(states, key):
+      k1, _ = jax.random.split(key)
+      acts = jax.random.uniform(k1, (T, B, env.act_size), minval=-1,
+                                maxval=1)
+      ms = jnp.where(has_act[None, None], acts[:, :, idx]
+                     * j_speed[None, None], 0.0)
+      states, traj = rollout(states, ms)
+      ic = jnp.broadcast_to(states.is_circle[None],
+                            (T, B, n)).reshape(T * B, n)
+      obs = jax.vmap(env.observe_pose)(
+          ic, traj['c'].reshape(T * B, n, 2), traj['a'].reshape(T * B, n))
       # consume EVERY obs component so none of the packing is DCE'd
-      consumed = (obs['lcd'].sum() + obs['full_state'].sum()
-                  + obs['proprio'].sum())
-      return states, consumed
-    keys = jax.random.split(key, T)
-    states, sums = jax.lax.scan(step, states, keys)
-    return states, sums.sum()
+      return states, (obs['lcd'].sum() + obs['full_state'].sum()
+                      + obs['proprio'].sum())
+  else:
+    solver = None
+    if solver_kind == 'sub' and jax.default_backend() != 'cpu':
+      from boxlcd_tpu.engine.pallas_solver import make_substep_solver
+      solver = make_substep_solver(spec)
+
+    def one_chunk(states, key):
+      """T env steps incl. observation (lcd render + obs packing) per step."""
+      def step(carry, k):
+        states = carry
+        acts = jax.random.uniform(k, (B, env.act_size), minval=-1, maxval=1)
+        states = physics.step_world_batch(spec, states, acts,
+                                          substep_solver=solver)
+        obs = jax.vmap(lambda s: Env.observe(env, s))(states)
+        # consume EVERY obs component so none of the packing is DCE'd
+        consumed = (obs['lcd'].sum() + obs['full_state'].sum()
+                    + obs['proprio'].sum())
+        return states, consumed
+      keys = jax.random.split(key, T)
+      states, sums = jax.lax.scan(step, states, keys)
+      return states, sums.sum()
 
   jchunk = jax.jit(one_chunk)
   keys = jax.random.split(jax.random.PRNGKey(0), B)
@@ -82,14 +108,11 @@ def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
     states, s = jchunk(states, jax.random.PRNGKey(1))
     np.asarray(s)
   except Exception as e:
-    if solver is None:
+    if solver_kind == 'jnp':
       raise
-    print(f'pallas solver failed ({type(e).__name__}); jnp fallback',
+    print(f'{solver_kind} path failed ({type(e).__name__}); jnp fallback',
           file=sys.stderr)
-    solver = None
-    jchunk = jax.jit(one_chunk)
-    states, s = jchunk(states, jax.random.PRNGKey(1))
-    np.asarray(s)
+    return measure(env_name, vel_iters, pos_iters, 'jnp', B, T, iters)
 
   best = 0.0
   for i in range(iters):
@@ -97,7 +120,7 @@ def measure(env_name, vel_iters, pos_iters, use_pallas, B, T, iters=3):
     states, s = jchunk(states, jax.random.PRNGKey(2 + i))
     np.asarray(s)
     best = max(best, B * T / (time.time() - t0))
-  return best, ('pallas' if solver is not None else 'jnp')
+  return best, solver_kind
 
 
 def main():
@@ -106,16 +129,19 @@ def main():
   env_name = os.environ.get('BENCH_ENV', 'Urchin')
   ref_iters = os.environ.get('BENCH_ITERS', '') == 'ref'
   vel, pos = (180, 60) if ref_iters else (8, 4)
-  use_pallas = bool(int(os.environ.get('BENCH_PALLAS', 0)))
+  solver_kind = os.environ.get('BENCH_SOLVER', 'auto')  # auto|mega|jnp|sub
+  if int(os.environ.get('BENCH_PALLAS', 0)):
+    solver_kind = 'sub'
 
   if int(os.environ.get('BENCH_MATRIX', 0)):
     rows = []
     for ename in ('Urchin', 'LuxoCube', 'Object3'):
       for vi, pi in ((8, 4), (180, 60)):
-        for pal in (True, False):
-          if pal and jax.default_backend() == 'cpu':
-            continue
-          sps, solver_used = measure(ename, vi, pi, pal, B, T)
+        for kind in ('auto', 'jnp'):
+          sps, solver_used = measure(ename, vi, pi, kind, B, T)
+          if kind != 'auto' and solver_used == kind == 'jnp' and rows \
+              and rows[-1]['solver'] == 'jnp' and rows[-1]['env'] == ename:
+            continue  # auto already fell back to jnp; skip the duplicate
           rows.append({'env': ename, 'vel_iters': vi, 'pos_iters': pi,
                        'solver': solver_used, 'worlds': B,
                        'steps_per_sec': round(sps, 1)})
@@ -123,7 +149,7 @@ def main():
     with open('BENCH_MATRIX.json', 'w') as f:
       json.dump(rows, f, indent=1)
 
-  steps_per_sec, solver_used = measure(env_name, vel, pos, use_pallas, B, T)
+  steps_per_sec, solver_used = measure(env_name, vel, pos, solver_kind, B, T)
   suffix = '_ref_iters' if ref_iters else ''
   if os.environ.get('BENCH_RASTER', 'exact') != 'exact':
     suffix += '_fastraster'

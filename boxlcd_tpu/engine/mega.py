@@ -374,8 +374,11 @@ def _build_kernel(spec: WorldSpec, T: int):
         om[ch] = om[ch] + jd['iB'] * (
             j_rBx[j] * jiy[j] - j_rBy[j] * jix[j] + ax_imp)
 
-      # ---- 6. velocity iterations ---------------------------------------
-      for _ in range(vel_iters):
+      # ---- 6. velocity iterations (fori: trace the body once — a python
+      # unroll here made XLA/Mosaic compiles pathologically slow) ----------
+      def vel_body(_, vcarry):
+        vx, vy, om, wcn, wct, jix, jiy, jmot, jlim = \
+            [list(x) for x in vcarry]
         # joints (motor, limit, 2x2 point)
         for jd in joints:
           j, pa, ch = jd['j'], jd['pa'], jd['ch']
@@ -470,6 +473,16 @@ def _build_kernel(spec: WorldSpec, T: int):
                                   + (w_rBx[s2] * ny - w_rBy[s2] * nx) * d2)
             wcn[s1] = a1 + d1
             wcn[s2] = a2 + d2
+        return tuple(tuple(x) for x in
+                     (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim))
+
+      vcarry = jax.lax.fori_loop(
+          0, vel_iters, vel_body,
+          tuple(tuple(x) for x in
+                (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim)))
+      vx, vy, om, wcn, wct, jix, jiy, jmot, jlim = \
+          [list(x) for x in vcarry]
+
 
       # ---- 7. integrate positions ---------------------------------------
       for i in range(n):
@@ -478,7 +491,8 @@ def _build_kernel(spec: WorldSpec, T: int):
         aa[i] = aa[i] + dt * om[i]
 
       # ---- 8. NGS position iterations (contacts, then joints) -----------
-      for _ in range(pos_iters):
+      def pos_body(_, pcarry):
+        cx, cy, aa = [list(x) for x in pcarry]
         for idx in range(nw * 2):
           wi, k = idx // 2, idx % 2
           nx, ny = wall_n[wi]
@@ -536,6 +550,11 @@ def _build_kernel(spec: WorldSpec, T: int):
           aa[pa] = aa[pa] - iA * (rAx * py - rAy * px)
           aa[ch] = aa[ch] + iB * (rBx * py - rBy * px)
 
+        return (tuple(cx), tuple(cy), tuple(aa))
+
+      cx, cy, aa = [list(x) for x in jax.lax.fori_loop(
+          0, pos_iters, pos_body, (tuple(cx), tuple(cy), tuple(aa)))]
+
       # ---- 9. sleeping (static islands: joint graph, no pairs) ----------
       if allow_sleep:
         forced = [jnp.zeros_like(slp[i]) > 1.0 for i in range(n)]
@@ -578,8 +597,8 @@ def _build_kernel(spec: WorldSpec, T: int):
         valid = bool(spec.j_valid[j])
         motor_changed[j] = (ms[j] != pm[j]) if valid \
             else (ms[j] != ms[j])  # False
-      for _ in range(substeps):
-        st = substep(st, ms, motor_changed)
+      st = jax.lax.fori_loop(0, substeps,
+                             lambda _, s: substep(s, ms, motor_changed), st)
       st = st[:15] + (tuple(ms),)
       # stream per-step poses + velocities for the obs pipeline
       cx, cy, aa, vx, vy, om = st[0], st[1], st[2], st[3], st[4], st[5]

@@ -13,6 +13,8 @@ use and for cross-validation against the CPU Box2D oracle.
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,13 @@ from boxlcd_tpu.render import raster
 
 def wrap_angle(a):
   return jnp.arctan2(jnp.sin(a), jnp.cos(a))
+
+
+class _Pose(NamedTuple):
+  """The subset of WorldState that observations depend on."""
+  is_circle: jnp.ndarray
+  c: jnp.ndarray
+  a: jnp.ndarray
 
 
 class Env:
@@ -157,7 +166,14 @@ class Env:
 
   def observe(self, state: physics.WorldState):
     """Pack the dict observation (reference: world_env.py:387-429)."""
+    return self.observe_pose(state.is_circle, state.c, state.a)
+
+  def observe_pose(self, is_circle, c, a):
+    """Observation from a bare pose (no WorldState needed) — obs depend only
+    on (is_circle, c, a), which lets the megakernel datagen path pack obs
+    for a whole (T, B) trajectory in one vectorized pass."""
     s = self.spec
+    state = _Pose(is_circle=is_circle, c=c, a=a)
     origin = physics.origin_pos(s, state)
     root = jnp.asarray(s.root_of)
     rel = origin - origin[root]                  # root-relative positions
