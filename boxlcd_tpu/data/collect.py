@@ -75,6 +75,84 @@ def make_rollout_fn(env, policy_fn=None, pack_lcd=False):
   return batch_rollout, T
 
 
+def make_mega_rollout_fn(env, pack_lcd=False, interpret=False, chunk=50):
+  """Megakernel-backed random-policy collection (engine/mega.py): all
+  physics for a chunk of steps runs as ONE Pallas program, then obs/raster
+  packs the whole (T, B) trajectory in one vectorized pass. ~100x fewer
+  kernel launches than the per-step scan (the measured datagen bottleneck
+  on this stack — PROGRESS.md round 3). Chunked so the per-program traj
+  output stays within VMEM. Same (o_t, a_t) barrel layout as
+  make_rollout_fn."""
+  from boxlcd_tpu.engine import mega
+  spec = env.spec
+  T = int(env.G.ep_len)
+  act_size = env.act_size
+  n = spec.n
+  pack_lcd = pack_lcd and env.lcd_w % 8 == 0
+  bitw = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+  has_act = jnp.asarray(spec.j_act >= 0)
+  a_idx = np.maximum(spec.j_act, 0)
+  j_speed = jnp.asarray(spec.j_speed)
+  sizes = []
+  s = 0
+  while s < T:
+    sizes.append(min(chunk, T - s))
+    s += chunk
+  rollouts = {c: mega.make_rollout(spec, c, interpret=interpret)
+              for c in set(sizes)}
+
+  def rollout_keys(keys):
+    B = keys.shape[0]
+    pad = (-B) % mega.BLOCK
+    Bp = B + pad
+    if pad:  # tile keys up to the block size (padding worlds are discarded)
+      reps = -(-Bp // B)
+      kp = jnp.concatenate([keys] * reps)[:Bp]
+    else:
+      kp = keys
+    kr, ka = jax.vmap(jax.random.split, out_axes=1)(kp)
+    states = jax.vmap(lambda k: Env.reset(env, k))(kr)
+    acts = jax.vmap(lambda k: jax.random.uniform(
+        k, (T, act_size), minval=-1.0, maxval=1.0), out_axes=1)(ka)
+    ms = jnp.where(has_act[None, None],
+                   jnp.clip(acts, -1, 1)[:, :, a_idx] * j_speed[None, None],
+                   0.0)
+    # o_t is the pose BEFORE action t: reset pose, then post-step poses
+    # 0..T-2 (the final action in a barrel is meaningless — data.py:50-77)
+    cs = [states.c[None]]
+    as_ = [states.a[None]]
+    st = states
+    off = 0
+    for c in sizes:
+      st, traj = rollouts[c](st, ms[off:off + c])
+      cs.append(traj['c'])
+      as_.append(traj['a'])
+      off += c
+    cs = jnp.concatenate(cs)[:T]                       # (T, Bp, n, 2)
+    as_ = jnp.concatenate(as_)[:T]                     # (T, Bp, n)
+    ic = jnp.broadcast_to(states.is_circle[None], (T, Bp, n))
+    obs = jax.vmap(env.observe_pose)(
+        ic.reshape(T * Bp, n), cs.reshape(T * Bp, n, 2),
+        as_.reshape(T * Bp, n))
+    out = {}
+    for k, v in obs.items():
+      v = v.reshape(T, Bp, *v.shape[1:])
+      out[k] = jnp.swapaxes(v, 0, 1)[:B]               # [B, T, ...]
+    lcd = out['lcd'].astype(jnp.uint8)
+    if pack_lcd:
+      lcd = (lcd.reshape(*lcd.shape[:-1], -1, 8).astype(jnp.int32)
+             * bitw).sum(-1).astype(jnp.uint8)
+    out['lcd'] = lcd
+    out['action'] = jnp.swapaxes(acts, 0, 1)[:B]
+    return out
+
+  def batch_rollout(key, batch_size):
+    return rollout_keys(jax.random.split(key, batch_size))
+
+  batch_rollout.keys_fn = rollout_keys
+  return batch_rollout, T
+
+
 def rollout_batch(env, key, batch_size, policy_fn=None):
   """Convenience: one jitted batch of episodes as numpy arrays."""
   fn, _ = make_rollout_fn(env, policy_fn)
@@ -98,8 +176,16 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
     assert BARREL_SIZE % batch_size == 0, \
         f'batch size {batch_size} must divide barrel size {BARREL_SIZE}'
     per_dispatch, reps = 1, BARREL_SIZE // batch_size
-  fn, T = make_rollout_fn(env, pack_lcd=True)
   mesh_spec = str(G.get('mesh', '') or '')
+  use_mega = False
+  if not mesh_spec and jax.default_backend() not in ('cpu',):
+    from boxlcd_tpu.engine import mega
+    use_mega = mega.supports(env.spec) \
+        and bool(int(G.get('collect_mega', 1)))
+  if use_mega:
+    fn, T = make_mega_rollout_fn(env, pack_lcd=True)
+  else:
+    fn, T = make_rollout_fn(env, pack_lcd=True)
   if mesh_spec:
     # shard the worlds axis over the device mesh: each chip rolls out its
     # slice of the env batch; the rollout itself needs no cross-chip comms

@@ -34,6 +34,7 @@ def rl_config():
   _G.lenv_temp = 1.0
   _G.lenv_cont_roll = 0
   _G.lenv_goals = 0
+  _G.lenv_test = 1
   _G.reset_prompt = 1
   _G.succ_reset = 1
   _G.state_key = 'proprio'

@@ -196,11 +196,13 @@ class PPO(RLAlgo):
     temp = float(G.get('lenv_temp', 1.0))
     ep_len = int(G.ep_len)
 
-    def sample_obs(k):  # prompts and goals both come from real-env resets
-      return _Env.observe(raw, _Env.reset(raw, k))
+    POOL = max(4 * B, 256)  # fresh real-env snapshots drawn per epoch
 
-    def fresh_wb(keys):
-      prompts = jax.vmap(sample_obs)(keys)
+    def sample_obs(k):  # prompts and goals both come from real-env resets
+      o = _Env.observe(raw, _Env.reset(raw, k))
+      return {'lcd': o['lcd'].astype(jnp.float32), 'proprio': o['proprio']}
+
+    def fresh_wb(prompts):
       wb = {'lcd': jnp.zeros((B, W, *raw.observation_space['lcd'].shape)),
             'proprio': jnp.zeros((B, W, max(1, raw.pobs_size))),
             'action': jnp.zeros((B, W, raw.act_size))}
@@ -208,16 +210,18 @@ class PPO(RLAlgo):
         wb[kk] = wb[kk].at[:, 0].set(prompts[kk].astype(jnp.float32))
       return wb
 
-    def sample_goals(keys):
-      obs = jax.vmap(sample_obs)(keys)
-      return {'goal:lcd': obs['lcd'].astype(jnp.float32),
-              'goal:proprio': obs['proprio']}
-
     def net_obs(wb, idx, goals):
       pro = jax.lax.dynamic_slice_in_dim(wb['proprio'], idx, 1, axis=1)[:, 0]
       return {G.state_key: pro, self.goal_key: goals['goal:proprio']}, pro
 
     def rollout(params, mparams, wb, ptr, ep_t, goals, key, steps):
+      # per-epoch snapshot pools: real-env resets are too expensive to run
+      # (vmapped, twice) inside every scan step; drawing prompts/goals from
+      # a POOL-sized fresh sample per epoch is distributionally equivalent
+      kp1, kp2, key = jax.random.split(key, 3)
+      prompt_pool = jax.vmap(sample_obs)(jax.random.split(kp1, POOL))
+      goal_pool = jax.vmap(sample_obs)(jax.random.split(kp2, POOL))
+
       def body(carry, k):
         wb, ptr, ep_t, goals = carry
         k1, k2, k3, k4 = jax.random.split(k, 4)
@@ -252,12 +256,15 @@ class PPO(RLAlgo):
         rew = (-delta + success) * G.rew_scale
         done = tvec | goal_done
         # autoreset: full reset on (lockstep) timeout; goals on success
-        wb_new = fresh_wb(jax.random.split(k3, B))
+        pidx = jax.random.randint(k3, (B,), 0, POOL)
+        wb_new = fresh_wb({kk: vv[pidx] for kk, vv in prompt_pool.items()})
         wb = jax.tree_util.tree_map(
             lambda aa, bb: jnp.where(timeout, bb, aa), wb, wb_new)
         ptr2 = jnp.where(timeout, 1, ptr2)
         ep_t2 = jnp.where(timeout, 0, ep_t2)
-        gnew = sample_goals(jax.random.split(k4, B))
+        gidx = jax.random.randint(k4, (B,), 0, POOL)
+        gnew = {'goal:lcd': goal_pool['lcd'][gidx],
+                'goal:proprio': goal_pool['proprio'][gidx]}
         gmask = goal_done | tvec
         goals = {kk: jnp.where(gmask.reshape((B,) + (1,) * (vv.ndim - 1)),
                                gnew[kk], vv) for kk, vv in goals.items()}
@@ -348,7 +355,10 @@ class PPO(RLAlgo):
     best-so-far (what eval_policy loads), ppo_last.pkl the rolling one."""
     G = self.G
     succ = self.test_agent(epoch)
-    if G.lenv:
+    if G.lenv and bool(G.get('lenv_test', 1)):
+      # the lenv test host-loops ep_len model forwards over the tunnel
+      # (~minutes per cycle); --lenv_test=0 skips it — best-checkpoint
+      # selection only needs the REAL test above
       self.test_agent(epoch, use_lenv=True)
     utils.dump_logger(self.logger, self.writer, epoch * G.steps_per_epoch, G)
     if succ >= getattr(self, '_best_succ', -1.0):

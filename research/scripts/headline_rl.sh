@@ -38,9 +38,11 @@ if [ ! -f "$WORK/fbt/FBT.pkl" ]; then
 fi
 
 echo "=== [4/7] PPO in the REAL sim"
+# reference headline hyperparameters (research/scripts/README.md:138-147):
+# 12 envs x 341 steps/epoch (full episodes per epoch), 256-wide nets
 python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 --lenv=0 \
-  --num_envs=64 --total_steps=$PPO_STEPS --steps_per_epoch=4096 \
-  --logdir=$WORK/ppo_real --test_n=5
+  --num_envs=12 --total_steps=$PPO_STEPS --steps_per_epoch=4096 \
+  --hidden_size=256 --logdir=$WORK/ppo_real --test_n=5
 
 echo "=== [5/7] eval PPO(real) on real sim, N=1000"
 python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
@@ -48,9 +50,9 @@ python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
 
 echo "=== [6/7] PPO in the LEARNED sim (FBT)"
 python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 --lenv=1 \
-  --model=FBT --weightdir=$WORK/fbt --num_envs=64 \
+  --model=FBT --weightdir=$WORK/fbt --num_envs=12 \
   --total_steps=$PPO_STEPS --steps_per_epoch=4096 \
-  --logdir=$WORK/ppo_lenv --test_n=5
+  --hidden_size=256 --logdir=$WORK/ppo_lenv --test_n=5 --lenv_test=0
 
 echo "=== [7/7] eval PPO(lenv) on real sim, N=1000"
 python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \

@@ -75,3 +75,27 @@ def test_mega_rollout_matches_step_world_batch(env_name):
   f_mega = (np.asarray(new_states.sleep_time) > 0).mean()
   assert f_ref > 0.2
   assert abs(f_ref - f_mega) < 0.02, (f_ref, f_mega)
+
+
+def test_mega_collect_layout_and_reset_obs():
+  """Megakernel collection writes the same barrel layout as the jnp path,
+  and — since both derive reset keys identically — the t=0 observations
+  must match bitwise."""
+  from boxlcd_tpu.data.collect import make_mega_rollout_fn, make_rollout_fn
+  env = boxlcd_tpu.env_map['Luxo']({'ep_len': 6})
+  if not mega.supports(env.spec):
+    pytest.skip('unsupported')
+  key = jax.random.PRNGKey(3)
+  fn_j, T = make_rollout_fn(env, pack_lcd=True)
+  fn_m, Tm = make_mega_rollout_fn(env, pack_lcd=True, interpret=True,
+                                  chunk=3)
+  assert T == Tm == 6
+  B = 8  # mega pads to BLOCK internally and slices back
+  out_j = jax.tree_util.tree_map(np.asarray, fn_j(key, B))
+  out_m = jax.tree_util.tree_map(np.asarray, fn_m(key, B))
+  assert set(out_j) == set(out_m)
+  for k in out_j:
+    assert out_j[k].shape == out_m[k].shape, k
+    assert out_j[k].dtype == out_m[k].dtype, k
+  for k in ('lcd', 'full_state', 'proprio'):
+    assert np.array_equal(out_j[k][:, 0], out_m[k][:, 0]), f'{k} @t=0'
