@@ -28,6 +28,20 @@ import time
 # the real TPU (ambient JAX_PLATFORMS=axon); fall back to cpu if unavailable
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 
+# the axon tunnel (a socket relay on 127.0.0.1:8082+) can die; jax init then
+# HANGS instead of erroring, so probe the relay first and fail over to CPU
+if os.environ.get('JAX_PLATFORMS', 'axon') not in ('cpu',):
+  import socket as _socket
+  _s = _socket.socket()
+  _s.settimeout(2)
+  try:
+    _s.connect(('127.0.0.1', 8082))
+  except OSError:
+    print('axon tunnel unreachable; benching on CPU', file=sys.stderr)
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+  finally:
+    _s.close()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
