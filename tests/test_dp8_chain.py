@@ -48,7 +48,7 @@ def _fbt_loss(logdir, batch):
   model = net_map['FBT'](env, mG)
   model.load(logdir)
   metrics = model.train_step(batch, dry=True)
-  return float(metrics['loss'])
+  return float(metrics['loss/total'])
 
 
 def test_dp8_train_chain_matches_single_device(tmp_path):
