@@ -37,7 +37,7 @@ from boxlcd_tpu.engine.collision import POLY_RADIUS
 from boxlcd_tpu.engine.physics import (
     ANGULAR_SLOP, BAUMGARTE, LINEAR_SLOP, MAX_ANGULAR_CORRECTION,
     MAX_LINEAR_CORRECTION, TIME_TO_SLEEP, LIN_SLEEP_TOL_SQ, ANG_SLEEP_TOL_SQ,
-    VELOCITY_THRESHOLD, WorldState, _block_lcp)
+    VELOCITY_THRESHOLD, WorldState, _block_lcp, _joint_block)
 from boxlcd_tpu.engine.spec import CIRCLE, POLY, WorldSpec
 
 SUB, LANE = 8, 128
@@ -393,34 +393,27 @@ def _build_kernel(spec: WorldSpec, T: int):
             jmot[j] = new
             om[pa] = om[pa] - iA * d
             om[ch] = om[ch] + iB * d
-          cdot = om[ch] - om[pa]
-          imp = -axm * cdot
-          acc = jlim[j] + imp
-          acc = jnp.where(jstate[j] == 1.0, jnp.maximum(acc, 0.0),
-                          jnp.where(jstate[j] == 2.0, jnp.minimum(acc, 0.0),
-                                    acc))
-          d = jnp.where(jstate[j] > 0.0, acc - jlim[j], 0.0)
-          jlim[j] = jlim[j] + d
-          om[pa] = om[pa] - iA * d
-          om[ch] = om[ch] + iB * d
-          # 2x2 point constraint
+          # coupled limit+point solve (b2RevoluteJoint 3x3; _joint_block)
           cdx = vx[ch] - om[ch] * j_rBy[j] - (vx[pa] - om[pa] * j_rAy[j])
           cdy = vy[ch] + om[ch] * j_rBx[j] - (vy[pa] + om[pa] * j_rAx[j])
+          cd2 = om[ch] - om[pa]
           k11 = mA + mB + iA * j_rAy[j] ** 2 + iB * j_rBy[j] ** 2
           k12 = -iA * j_rAx[j] * j_rAy[j] - iB * j_rBx[j] * j_rBy[j]
+          k13 = -iA * j_rAy[j] - iB * j_rBy[j]
           k22 = mA + mB + iA * j_rAx[j] ** 2 + iB * j_rBx[j] ** 2
-          det = k11 * k22 - k12 * k12
-          det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-          px = -(k22 * cdx - k12 * cdy) / det
-          py = -(k11 * cdy - k12 * cdx) / det
+          k23 = iA * j_rAx[j] + iB * j_rBx[j]
+          k33 = iA + iB
+          px, py, dz = _joint_block(jstate[j], cdx, cdy, cd2, jlim[j],
+                                    k11, k12, k13, k22, k23, k33)
           jix[j] = jix[j] + px
           jiy[j] = jiy[j] + py
+          jlim[j] = jlim[j] + dz
           vx[pa] = vx[pa] - mA * px
           vy[pa] = vy[pa] - mA * py
           vx[ch] = vx[ch] + mB * px
           vy[ch] = vy[ch] + mB * py
-          om[pa] = om[pa] - iA * (j_rAx[j] * py - j_rAy[j] * px)
-          om[ch] = om[ch] + iB * (j_rBx[j] * py - j_rBy[j] * px)
+          om[pa] = om[pa] - iA * (j_rAx[j] * py - j_rAy[j] * px + dz)
+          om[ch] = om[ch] + iB * (j_rBx[j] * py - j_rBy[j] * px + dz)
         # wall contacts: friction both points, then normal block pair
         for wi in range(nw):
           nx, ny = wall_n[wi]

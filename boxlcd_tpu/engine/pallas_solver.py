@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from boxlcd_tpu.engine.physics import (
     ANGULAR_SLOP, BAUMGARTE, LINEAR_SLOP, MAX_ANGULAR_CORRECTION,
-    MAX_LINEAR_CORRECTION, SolveBundle, _block_lcp)
+    MAX_LINEAR_CORRECTION, SolveBundle, _block_lcp, _joint_block)
 from boxlcd_tpu.engine.spec import WorldSpec
 
 SUB, LANE = 8, 128
@@ -133,34 +133,27 @@ def _make_kernel(spec: WorldSpec, with_position: bool = False):
           jm[j] = new
           om[pa] = om[pa] - iA * d
           om[ch] = om[ch] + iB * d
-        # limit (Box2D 2.3 state-based accumulator)
-        cdot = om[ch] - om[pa]
-        imp = -axm * cdot
-        acc = jl[j] + imp
-        acc = jnp.where(state == 1, jnp.maximum(acc, 0.0),
-                        jnp.where(state == 2, jnp.minimum(acc, 0.0), acc))
-        d = jnp.where(state > 0, acc - jl[j], 0.0)
-        jl[j] = jl[j] + d
-        om[pa] = om[pa] - iA * d
-        om[ch] = om[ch] + iB * d
-        # point 2x2 (componentwise)
+        # coupled limit+point solve (b2RevoluteJoint 3x3; physics._joint_block)
         cdx = vx[ch] - om[ch] * rBy - (vx[pa] - om[pa] * rAy)
         cdy = vy[ch] + om[ch] * rBx - (vy[pa] + om[pa] * rAx)
+        cd2 = om[ch] - om[pa]
         k11 = mA + mB + iA * rAy * rAy + iB * rBy * rBy
         k12 = -iA * rAx * rAy - iB * rBx * rBy
+        k13 = -iA * rAy - iB * rBy
         k22 = mA + mB + iA * rAx * rAx + iB * rBx * rBx
-        det = k11 * k22 - k12 * k12
-        det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-        px = -(k22 * cdx - k12 * cdy) / det
-        py = -(k11 * cdy - k12 * cdx) / det
+        k23 = iA * rAx + iB * rBx
+        k33 = iA + iB
+        px, py, dz = _joint_block(state, cdx, cdy, cd2, jl[j],
+                                  k11, k12, k13, k22, k23, k33)
         jix[j] = jix[j] + px
         jiy[j] = jiy[j] + py
+        jl[j] = jl[j] + dz
         vx[pa] = vx[pa] - mA * px
         vy[pa] = vy[pa] - mA * py
         vx[ch] = vx[ch] + mB * px
         vy[ch] = vy[ch] + mB * py
-        om[pa] = om[pa] - iA * (rAx * py - rAy * px)
-        om[ch] = om[ch] + iB * (rBx * py - rBy * px)
+        om[pa] = om[pa] - iA * (rAx * py - rAy * px + dz)
+        om[ch] = om[ch] + iB * (rBx * py - rBy * px + dz)
       # ---- wall contacts (Box2D order: friction both points, then the
       # normal pair as a 2x2 block or sequentially) -------------------------
       for wi in range(nw):

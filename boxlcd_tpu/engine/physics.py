@@ -98,6 +98,53 @@ def _block_lcp(b1, b2, a1, a2, k11, k22, k12, nm1, nm2):
   return x1 - a1, x2 - a2
 
 
+def _joint_block(state, cd1x, cd1y, cd2, jlim,
+                 k11, k12, k13, k22, k23, k33):
+  """Box2D 2.3's coupled revolute limit+point velocity solve
+  (b2RevoluteJoint::SolveVelocityConstraints): when the limit is active
+  (state 1=lower/2=upper/3=equal), point (x,y) and limit (z) are one 3x3
+  system with case-wise clamping that re-solves the reduced 2x2 when the
+  accumulated limit impulse would cross zero; when inactive (0), the point
+  solves alone. K is the symmetric 3x3 effective mass (k13=ez.x, k23=ez.y).
+  Elementwise over any batch shape. Returns (dx, dy, dz) impulse deltas
+  (dz accumulates into the limit impulse)."""
+  # -- full 3x3 solve: impulse = -K^-1 Cdot (Cramer on the symmetric K)
+  a11 = k22 * k33 - k23 * k23
+  a12 = k13 * k23 - k12 * k33
+  a13 = k12 * k23 - k13 * k22
+  a22 = k11 * k33 - k13 * k13
+  a23 = k13 * k12 - k11 * k23
+  a33 = k11 * k22 - k12 * k12
+  det3 = k11 * a11 + k12 * a12 + k13 * a13
+  det3 = jnp.where(jnp.abs(det3) > 1e-12, det3, 1.0)
+  ix = -(a11 * cd1x + a12 * cd1y + a13 * cd2) / det3
+  iy = -(a12 * cd1x + a22 * cd1y + a23 * cd2) / det3
+  iz = -(a13 * cd1x + a23 * cd1y + a33 * cd2) / det3
+  # -- reduced 2x2 re-solve when the limit accumulator would cross zero:
+  # rhs = -Cdot1 + jlim * ez_xy ; reduced = K22^-1 rhs ; dz = -jlim
+  det2 = k11 * k22 - k12 * k12
+  det2 = jnp.where(jnp.abs(det2) > 1e-12, det2, 1.0)
+  r1 = -cd1x + jlim * k13
+  r2 = -cd1y + jlim * k23
+  rx = (k22 * r1 - k12 * r2) / det2
+  ry = (k11 * r2 - k12 * r1) / det2
+  new_z = jlim + iz
+  lo_clamp = (state == 1) & (new_z < 0.0)
+  hi_clamp = (state == 2) & (new_z > 0.0)
+  clamp = lo_clamp | hi_clamp
+  dx_act = jnp.where(clamp, rx, ix)
+  dy_act = jnp.where(clamp, ry, iy)
+  dz_act = jnp.where(clamp, -jlim, iz)
+  # -- inactive limit: plain point 2x2
+  px = -(k22 * cd1x - k12 * cd1y) / det2
+  py = -(k11 * cd1y - k12 * cd1x) / det2
+  active = state > 0
+  dx = jnp.where(active, dx_act, px)
+  dy = jnp.where(active, dy_act, py)
+  dz = jnp.where(active, dz_act, 0.0)
+  return dx, dy, dz
+
+
 class WorldState(NamedTuple):
   """Dynamic state of one world (vmap over a leading axis for batches)."""
   c: jnp.ndarray          # (N, 2) world center-of-mass positions
@@ -258,29 +305,25 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
       d = jnp.where(j_equal[j], 0.0, new - j_mot[j]) * j_valid[j]
       j_mot = j_mot.at[j].add(d)
       w = w.at[pa].add(-iA * d).at[ch].add(iB * d)
-      # limits (Box2D 2.3 state-based accumulator, no speculation)
+      # coupled limit+point solve (b2RevoluteJoint 3x3; _joint_block)
       state = b.j_state[j]
-      cdot = w[ch] - w[pa]
-      imp = -b.j_axmass[j] * cdot
-      acc = j_lim[j] + imp
-      acc = jnp.where(state == 1, jnp.maximum(acc, 0.0),
-                      jnp.where(state == 2, jnp.minimum(acc, 0.0), acc))
-      d = jnp.where(state > 0, acc - j_lim[j], 0.0) * j_valid[j]
-      j_lim = j_lim.at[j].add(d)
-      w = w.at[pa].add(-iA * d).at[ch].add(iB * d)
-      # point constraint (2x2)
-      cdot = v[ch] + cross_sv(w[ch], rB) - v[pa] - cross_sv(w[pa], rA)
+      cdot1 = v[ch] + cross_sv(w[ch], rB) - v[pa] - cross_sv(w[pa], rA)
+      cdot2 = w[ch] - w[pa]
       k11 = mA + mB + iA * rA[1] ** 2 + iB * rB[1] ** 2
       k12 = -iA * rA[0] * rA[1] - iB * rB[0] * rB[1]
+      k13 = -iA * rA[1] - iB * rB[1]
       k22 = mA + mB + iA * rA[0] ** 2 + iB * rB[0] ** 2
-      det = k11 * k22 - k12 * k12
-      det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-      P = -jnp.stack([k22 * cdot[0] - k12 * cdot[1],
-                      k11 * cdot[1] - k12 * cdot[0]]) / det
-      P = P * j_valid[j]
+      k23 = iA * rA[0] + iB * rB[0]
+      k33 = iA + iB
+      dx, dy, dz = _joint_block(state, cdot1[0], cdot1[1], cdot2, j_lim[j],
+                                k11, k12, k13, k22, k23, k33)
+      P = jnp.stack([dx, dy]) * j_valid[j]
+      dz = dz * j_valid[j]
       j_imp = j_imp.at[j].add(P)
+      j_lim = j_lim.at[j].add(dz)
       v = v.at[pa].add(-mA * P).at[ch].add(mB * P)
-      w = w.at[pa].add(-iA * cross_vv(rA, P)).at[ch].add(iB * cross_vv(rB, P))
+      w = w.at[pa].add(-iA * (cross_vv(rA, P) + dz))
+      w = w.at[ch].add(iB * (cross_vv(rB, P) + dz))
       return (v, w, j_imp, j_mot, j_lim), None
 
     (v, w, j_imp, j_mot, j_lim), _ = jax.lax.scan(
