@@ -343,9 +343,8 @@ def _build_kernel(spec: WorldSpec, T: int):
         elif jd['equal']:
           st_new = jnp.full_like(ang, 3.0)
         else:
-          st_new = jnp.where(ang <= jd['lower'] + ANG_SLOP, 1.0,
-                             jnp.where(ang >= jd['upper'] - ANG_SLOP, 2.0,
-                                       0.0))
+          st_new = jnp.where(ang <= jd['lower'], 1.0,
+                             jnp.where(ang >= jd['upper'], 2.0, 0.0))
         jlim[j] = jnp.where(st_new == jstate[j], jlim[j], 0.0)
         jstate[j] = st_new
 

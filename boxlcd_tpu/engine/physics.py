@@ -661,8 +661,11 @@ def _presolve(spec: WorldSpec, st: WorldState, motor_speed):
   j_state = jnp.where(
       ~(j_limited & j_valid), 0,
       jnp.where(j_equal, 3,
-                jnp.where(j_angle <= j_lower + ANGULAR_SLOP, 1,
-                          jnp.where(j_angle >= j_upper - ANGULAR_SLOP, 2, 0))))
+                jnp.where(j_angle <= j_lower, 1,
+                          jnp.where(j_angle >= j_upper, 2, 0))))
+  # NOTE: Box2D 2.3's velocity limit-state check uses NO angular slop
+  # (b2RevoluteJoint::InitVelocityConstraints); slop applies only in the
+  # position correction below.
   j_state = j_state.astype(jnp.int32)
   j_lim_i = jnp.where(j_state == st.j_state, st.j_lim, 0.0) * j_valid
 
