@@ -484,7 +484,12 @@ def _build_kernel(spec: WorldSpec, T: int):
 
       # ---- 8. NGS position iterations (contacts, then joints) -----------
       def pos_body(_, pcarry):
-        cx, cy, aa = [list(x) for x in pcarry]
+        cx, cy, aa, done = (*[list(x) for x in pcarry[:3]], pcarry[3])
+        # b2Island::Solve position-loop early exit, as a per-world mask
+        # (see physics._position_solve)
+        cxp, cyp, aap = list(cx), list(cy), list(aa)
+        minsep = jnp.zeros_like(cx[0])
+        jbad = jnp.zeros_like(done)
         for idx in range(nw * 2):
           wi, k = idx // 2, idx % 2
           nx, ny = wall_n[wi]
@@ -496,6 +501,7 @@ def _build_kernel(spec: WorldSpec, T: int):
             ptx = cx[i] + ca_ * m_lpx[s] - sa_ * m_lpy[s]
             pty = cy[i] + sa_ * m_lpx[s] + ca_ * m_lpy[s]
             sep = ptx * nx + pty * ny - off - rad_sub[i][wi]
+            minsep = jnp.minimum(minsep, jnp.where(m_tch[s], sep, 0.0))
             C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP),
                          -MAX_LINEAR_CORRECTION, 0.0)
             rBx, rBy = ptx - cx[i], pty - cy[i]
@@ -515,6 +521,10 @@ def _build_kernel(spec: WorldSpec, T: int):
           C = jnp.where(jstate[j] == 3.0, c_eq,
                         jnp.where(jstate[j] == 1.0, c_lo,
                                   jnp.where(jstate[j] == 2.0, c_hi, 0.0)))
+          ang_err = jnp.where(
+              jstate[j] == 3.0, jnp.abs(c_eq),
+              jnp.where(jstate[j] == 1.0, jd['lower'] - ang,
+                        jnp.where(jstate[j] == 2.0, ang - jd['upper'], 0.0)))
           d = -jd['axmass'] * C
           aa[pa] = aa[pa] - iA * d
           aa[ch] = aa[ch] + iB * d
@@ -528,6 +538,8 @@ def _build_kernel(spec: WorldSpec, T: int):
           rBy = sb_ * bx_ + cb_ * by_
           Cvx = cx[ch] + rBx - cx[pa] - rAx
           Cvy = cy[ch] + rBy - cy[pa] - rAy
+          jbad = jbad | ((Cvx * Cvx + Cvy * Cvy > LINEAR_SLOP * LINEAR_SLOP)
+                         | (ang_err > ANG_SLOP))
           k11 = mA + mB + iA * rAy * rAy + iB * rBy * rBy
           k12 = -iA * rAx * rAy - iB * rBx * rBy
           k22 = mA + mB + iA * rAx * rAx + iB * rBx * rBx
@@ -542,10 +554,18 @@ def _build_kernel(spec: WorldSpec, T: int):
           aa[pa] = aa[pa] - iA * (rAx * py - rAy * px)
           aa[ch] = aa[ch] + iB * (rBx * py - rBy * px)
 
-        return (tuple(cx), tuple(cy), tuple(aa))
+        okay = (minsep >= -3.0 * LINEAR_SLOP) & ~jbad
+        for i in range(n):
+          cx[i] = jnp.where(done, cxp[i], cx[i])
+          cy[i] = jnp.where(done, cyp[i], cy[i])
+          aa[i] = jnp.where(done, aap[i], aa[i])
+        return (tuple(cx), tuple(cy), tuple(aa), done | okay)
 
-      cx, cy, aa = [list(x) for x in jax.lax.fori_loop(
-          0, pos_iters, pos_body, (tuple(cx), tuple(cy), tuple(aa)))]
+      cx, cy, aa, _ = jax.lax.fori_loop(
+          0, pos_iters, pos_body,
+          (tuple(cx), tuple(cy), tuple(aa),
+           jnp.zeros_like(cx[0], jnp.bool_)))
+      cx, cy, aa = list(cx), list(cy), list(aa)
 
       # ---- 9. sleeping (static islands: joint graph, no pairs) ----------
       if allow_sleep:

@@ -301,7 +301,12 @@ def _make_kernel(spec: WorldSpec, with_position: bool = False):
       aa0 = tuple(a0_ref[i] + dt * om[i] for i in range(n))
 
       def pos_body(_, carry):
-        cx, cy, aa = [list(c) for c in carry]
+        cx, cy, aa, done = (*[list(c) for c in carry[:3]], carry[3])
+        # b2Island::Solve position-loop early exit, as a per-world mask
+        # (see physics._position_solve)
+        cxp, cyp, aap = list(cx), list(cy), list(aa)
+        minsep = jnp.zeros_like(cx[0])
+        jbad = jnp.zeros_like(done)
         # wall contacts: slots (wi, k) sequential, bodies independent
         for idx in range(nw * 2):
           wi, k = idx // 2, idx % 2
@@ -315,6 +320,8 @@ def _make_kernel(spec: WorldSpec, with_position: bool = False):
             ptx = cx[i] + ca_ * lx - sa_ * ly
             pty = cy[i] + sa_ * lx + ca_ * ly
             sep = ptx * nx + pty * ny - off - w_rads_ref[i, wi]
+            minsep = jnp.minimum(
+                minsep, jnp.where(w_tch_ref[i, wi, k] > 0.5, sep, 0.0))
             C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP),
                          -MAX_LINEAR_CORRECTION, 0.0)
             rBx, rBy = ptx - cx[i], pty - cy[i]
@@ -373,6 +380,8 @@ def _make_kernel(spec: WorldSpec, with_position: bool = False):
             ptx = jnp.where(mt0, pt0x, jnp.where(mt1, cl1x, cl2x))
             pty = jnp.where(mt0, pt0y, jnp.where(mt1, cl1y, cl2y))
             sep = jnp.where(mt0, sep0, jnp.where(mt1, sep1, sep2))
+            minsep = jnp.minimum(
+                minsep, jnp.where(p_tch_ref[p, k] > 0.5, sep, 0.0))
             C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP),
                          -MAX_LINEAR_CORRECTION, 0.0)
             rAx, rAy = ptx - cx[ia], pty - cy[ia]
@@ -402,6 +411,9 @@ def _make_kernel(spec: WorldSpec, with_position: bool = False):
           C = jnp.where(state == 3, c_eq,
                         jnp.where(state == 1, c_lo,
                                   jnp.where(state == 2, c_hi, 0.0)))
+          ang_err = jnp.where(state == 3, jnp.abs(c_eq),
+                              jnp.where(state == 1, lo - ang,
+                                        jnp.where(state == 2, ang - hi, 0.0)))
           d = -j_axm_ref[j] * C
           aa[pa] = aa[pa] - iA * d
           aa[ch] = aa[ch] + iB * d
@@ -415,6 +427,8 @@ def _make_kernel(spec: WorldSpec, with_position: bool = False):
           rBy = sb_ * bx_ + cb_ * by_
           Cvx = cx[ch] + rBx - cx[pa] - rAx
           Cvy = cy[ch] + rBy - cy[pa] - rAy
+          jbad = jbad | ((Cvx * Cvx + Cvy * Cvy > LINEAR_SLOP * LINEAR_SLOP)
+                         | (ang_err > ANG_SLOP))
           k11 = mA + mB + iA * rAy * rAy + iB * rBy * rBy
           k12 = -iA * rAx * rAy - iB * rBx * rBy
           k22 = mA + mB + iA * rAx * rAx + iB * rBx * rBx
@@ -428,9 +442,16 @@ def _make_kernel(spec: WorldSpec, with_position: bool = False):
           cy[ch] = cy[ch] + mB * py
           aa[pa] = aa[pa] - iA * (rAx * py - rAy * px)
           aa[ch] = aa[ch] + iB * (rBx * py - rBy * px)
-        return tuple(tuple(c) for c in (cx, cy, aa))
+        okay = (minsep >= -3.0 * LINEAR_SLOP) & ~jbad
+        for i in range(n):
+          cx[i] = jnp.where(done, cxp[i], cx[i])
+          cy[i] = jnp.where(done, cyp[i], cy[i])
+          aa[i] = jnp.where(done, aap[i], aa[i])
+        return (tuple(cx), tuple(cy), tuple(aa), done | okay)
 
-      cx, cy, aa = jax.lax.fori_loop(0, pos_iters, pos_body, (cx0, cy0, aa0))
+      cx, cy, aa, _ = jax.lax.fori_loop(
+          0, pos_iters, pos_body,
+          (cx0, cy0, aa0, jnp.zeros_like(cx0[0], jnp.bool_)))
       for i in range(n):
         c_out[i, 0] = cx[i]
         c_out[i, 1] = cy[i]

@@ -734,15 +734,22 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
   a = st.a + dt * w
 
   # ---- 8. position iterations (NGS) ---------------------------------------------
-  def pos_iter(_, ca):
-    c, a = ca
+  # b2Island::Solve EXITS the position loop once the iteration's contact
+  # minSeparation >= -3*linearSlop AND every joint reports
+  # positionError <= linearSlop && angularError <= angularSlop — the loop
+  # rarely runs all pos_iters. Replicated here with a `done` mask (the
+  # tolerance flags are computed during the sweep exactly as Box2D does,
+  # and the qualifying iteration's corrections are still applied).
+  def pos_iter(_, cad):
+    c, a, done = cad
+    c0, a0 = c, a
     # Box2D island order per position iteration: contacts first, then joints
     # (b2Island::Solve — contactSolver.SolvePositionConstraints before the
     # joint loop); within contacts: walls then pairs (spec order)
 
     # joints: limit correction then point correction (Box2D order)
     def one_joint(ca, j):
-      c, a = ca
+      c, a, jerr = ca
       pa, ch = j_pa[j], j_ch[j]
       iA, iB, mA, mB = j_iA[j], j_iB[j], j_mA[j], j_mB[j]
       state = j_state[j]
@@ -754,6 +761,11 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
       C = jnp.where(state == 3, c_eq,
                     jnp.where(state == 1, c_lo,
                               jnp.where(state == 2, c_hi, 0.0)))
+      # b2RevoluteJoint angularError: |C| at equal limits, violation depth at
+      # a one-sided limit, 0 when inactive
+      ang_err = jnp.where(state == 3, jnp.abs(c_eq),
+                          jnp.where(state == 1, lo - ang,
+                                    jnp.where(state == 2, ang - hi, 0.0)))
       d = -j_axmass[j] * C
       a = a.at[pa].add(-iA * d).at[ch].add(iB * d)
       # point
@@ -761,6 +773,7 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
       rA = rotA @ (j_anchor_a[j] - lc_j[pa])
       rB = rotB @ (j_anchor_b[j] - lc_j[ch])
       Cv = c[ch] + rB - c[pa] - rA
+      pos_err = jnp.linalg.norm(Cv)
       k11 = mA + mB + iA * rA[1] ** 2 + iB * rB[1] ** 2
       k12 = -iA * rA[0] * rA[1] - iB * rB[0] * rB[1]
       k22 = mA + mB + iA * rA[0] ** 2 + iB * rB[0] ** 2
@@ -771,16 +784,19 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
       P = P * j_valid[j]
       c = c.at[pa].add(-mA * P).at[ch].add(mB * P)
       a = a.at[pa].add(-iA * cross_vv(rA, P)).at[ch].add(iB * cross_vv(rB, P))
-      return (c, a), None
+      bad = j_valid[j] & ((pos_err > LINEAR_SLOP) | (ang_err > ANGULAR_SLOP))
+      return (c, a, jerr | bad), None
 
     # wall contacts (parallel over bodies, sequential over W*2 slots)
     def one_wall_slot(ca, idx):
-      c, a = ca
+      c, a, minsep = ca
       wi, k = idx // 2, idx % 2
       n = wall_n[wi]
       rot = rot_mat(a)
       pt = c + jnp.einsum('nij,nj->ni', rot, wallm.lps[:, wi, k])
       sep = (pt * n).sum(-1) - wall_off[wi] - wallm.rad_sub[:, wi]
+      minsep = jnp.minimum(
+          minsep, jnp.where(wallm.touch[:, wi, k], sep, 0.0).min())
       C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0)
       rB = pt - c
       kn = inv_m + inv_i * cross_vv(rB, n[None]) ** 2
@@ -788,14 +804,15 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
       P = imp[:, None] * n[None]
       c = c + inv_m[:, None] * P
       a = a + inv_i * cross_vv(rB, P)
-      return (c, a), None
+      return (c, a, minsep), None
 
-    (c, a), _ = jax.lax.scan(one_wall_slot, (c, a), jnp.arange(nw * 2),
-                             unroll=_U_SLOTS)
+    (c, a, minsep), _ = jax.lax.scan(one_wall_slot,
+                                     (c, a, jnp.asarray(0.0, c.dtype)),
+                                     jnp.arange(nw * 2), unroll=_U_SLOTS)
 
     # pair contacts
     def one_pair_slot(ca, idx):
-      c, a = ca
+      c, a, minsep = ca
       p, k = idx // 2, idx % 2
       ia, ib = pair_a[p], pair_b[p]
       rotA, rotB = rot_mat(a[ia]), rot_mat(a[ib])
@@ -824,6 +841,7 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
       pt = jnp.where(mt == 0, pt0, jnp.where(mt == 1, clip1, clip2))
       sep = jnp.where(mt == 0, sep0, jnp.where(mt == 1, sep1, sep2))
 
+      minsep = jnp.minimum(minsep, jnp.where(pairm.touch[p, k], sep, 0.0))
       C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0)
       rA = pt - c[ia]
       rB = pt - c[ib]
@@ -834,18 +852,23 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
       c = c.at[ia].add(-inv_m[ia] * P).at[ib].add(inv_m[ib] * P)
       a = a.at[ia].add(-inv_i[ia] * cross_vv(rA, P))
       a = a.at[ib].add(inv_i[ib] * cross_vv(rB, P))
-      return (c, a), None
+      return (c, a, minsep), None
 
-    (c, a), _ = jax.lax.scan(one_pair_slot, (c, a),
-                             jnp.arange(len(spec.pair_a) * 2),
-                             unroll=_U_SLOTS)
-    (c, a), _ = jax.lax.scan(one_joint, (c, a), jnp.arange(len(spec.j_parent)),
-                             unroll=_U_SLOTS)
-    return c, a
+    (c, a, minsep), _ = jax.lax.scan(one_pair_slot, (c, a, minsep),
+                                     jnp.arange(len(spec.pair_a) * 2),
+                                     unroll=_U_SLOTS)
+    (c, a, jbad), _ = jax.lax.scan(one_joint, (c, a, jnp.asarray(False)),
+                                   jnp.arange(len(spec.j_parent)),
+                                   unroll=_U_SLOTS)
+    okay = (minsep >= -3.0 * LINEAR_SLOP) & ~jbad
+    c = jnp.where(done, c0, c)
+    a = jnp.where(done, a0, a)
+    return c, a, done | okay
 
-  c, a = jax.lax.fori_loop(0, spec.pos_iters, pos_iter, (c, a),
-                           unroll=min(_U_ITERS, spec.pos_iters)
-                           if spec.pos_iters else 1)
+  c, a, _ = jax.lax.fori_loop(0, spec.pos_iters, pos_iter,
+                              (c, a, jnp.asarray(False)),
+                              unroll=min(_U_ITERS, spec.pos_iters)
+                              if spec.pos_iters else 1)
   return c, a
 
 

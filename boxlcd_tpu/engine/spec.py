@@ -73,6 +73,8 @@ class WorldSpec:
   j_torque: np.ndarray              # (J,) max motor torque
   j_act: np.ndarray                 # (J,) action index or -1
   j_valid: np.ndarray               # (J,) bool (False for the padding slot)
+  j_order: np.ndarray               # (J,) creation index of slot j (slots are
+                                    # stored in Box2D island solve order)
   j_angle0: np.ndarray              # (J,) spawn angle offset from root angle
   # --- collision pairs (filter- and joint-aware), padded to >=1 ---
   pair_a: np.ndarray                # (P,)
@@ -298,6 +300,49 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
     j_speed, j_torque, j_angle0 = [0.0], [0.0], [0.0]
   j_valid = np.arange(len(j_parent)) < jn
 
+  # ---- Box2D island joint order --------------------------------------------
+  # b2World::Solve builds each island by DFS from the most recently created
+  # body (b2World's body list is prepended on creation), walking each body's
+  # joint-edge list, which is likewise prepended when the joint is created.
+  # The island's joint array — the Gauss-Seidel sweep order inside
+  # b2Island::Solve — is therefore NOT joint-creation order. At the partial
+  # convergence the reference runs (180 velocity iterations,
+  # boxLCD/world_env.py:446-452), the sweep order changes the iterate by
+  # ~1e-2 rad/step on articulated morphologies, so matching it matters for
+  # trajectory parity. Bake the island order into the slot order itself so
+  # every solver path (jnp / pallas / megakernel) inherits it.
+  perm = list(range(len(j_parent)))
+  if jn:
+    edges = [[] for _ in range(n)]
+    for j in range(jn):
+      edges[j_parent[j]].insert(0, j)
+      edges[j_child[j]].insert(0, j)
+    perm, bflag, jflag = [], [False] * n, [False] * jn
+    for seed in range(n - 1, -1, -1):
+      if bflag[seed]:
+        continue
+      bflag[seed] = True
+      stack = [seed]
+      while stack:
+        bb = stack.pop()
+        for j in edges[bb]:
+          if jflag[j]:
+            continue
+          jflag[j] = True
+          perm.append(j)
+          other = j_parent[j] if j_child[j] == bb else j_child[j]
+          if not bflag[other]:
+            bflag[other] = True
+            stack.append(other)
+    assert len(perm) == jn, (perm, jn)
+    _pm = lambda lst: [lst[j] for j in perm]
+    j_parent, j_child = _pm(j_parent), _pm(j_child)
+    j_anchor_a, j_anchor_b = _pm(j_anchor_a), _pm(j_anchor_b)
+    j_lower, j_upper, j_limited = _pm(j_lower), _pm(j_upper), _pm(j_limited)
+    j_speed, j_torque, j_angle0 = _pm(j_speed), _pm(j_torque), _pm(j_angle0)
+    joint_names = _pm(joint_names)
+    j_rows = _pm(j_rows)
+
   # ---- action layout ------------------------------------------------------
   # actuated joints: limits differ (reference: boxLCD/world_env.py:109-114)
   act_info = {}
@@ -409,7 +454,7 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
       inv_m=_f(inv_m), inv_i=_f(inv_i), local_center=_f(local_center),
       friction=_f(friction), restitution=_f(restitution),
       lin_damp=_f(lin_damp), ang_damp=_f(ang_damp),
-      jn=jn, j_parent=_i(j_parent), j_child=_i(j_child),
+      jn=jn, j_parent=_i(j_parent), j_child=_i(j_child), j_order=_i(perm),
       j_anchor_a=_f(j_anchor_a), j_anchor_b=_f(j_anchor_b),
       j_lower=_f(j_lower), j_upper=_f(j_upper),
       j_limited=np.asarray(j_limited, bool), j_speed=_f(j_speed),

@@ -116,9 +116,12 @@ class Box2DOracle:
     """One env step = joint control + 3 substeps (world_env.py:431-452)."""
     s = self.spec
     action = np.clip(np.asarray(action, np.float64), -1, 1)
+    # spec slots are in Box2D island solve order; self.joints is in creation
+    # order — s.j_order maps slot -> creation index
     for j in range(s.jn):
       if s.j_act[j] >= 0:
-        self.joints[j].motorSpeed = float(s.j_speed[j] * action[s.j_act[j]])
+        self.joints[int(s.j_order[j])].motorSpeed = float(
+            s.j_speed[j] * action[s.j_act[j]])
     fps = self.G.fps
     if fps < 30:
       for _ in range(3):
