@@ -49,6 +49,7 @@ def rl_config():
   _G.lam = 0.97
   _G.steps_per_epoch = 4000
   _G.target_kl = 0.01
+  _G.kl_stop = 0  # reference's KL early stop is commented out (ppo.py:82-83)
   _G.firehose = 0
   _G.fused_rollout = 1  # one-dispatch on-device PPO epoch rollouts
   return _G

@@ -311,15 +311,23 @@ class PPO(RLAlgo):
       epoch_end = t == T - 1
       for i in range(G.num_envs):
         if done_t[t][i] or epoch_end:
+          timeout = ep_len[i] >= G.ep_len
           if done_t[t][i]:
             self.logger['EpRet'] = ep_ret[i]
             self.logger['EpLen'] = ep_len[i]
             self.logger['success_rate'] = float(succ_t[t][i])
             ep_ret[i] = 0
             ep_len[i] = 0
+          # bootstrap rule (reference ppo.py:160-173): zero the value only at
+          # TRUE terminals (success); timeouts and epoch cuts bootstrap with
+          # V(next obs) — for an autoreset venv that next obs is the fresh
+          # episode's first state, exactly as the reference's step(o) sees it
+          if done_t[t][i] and not timeout:
             last_val = 0.0
-          else:
+          elif t == T - 1:
             last_val = float(last_v[i])
+          else:
+            last_val = float(v_t[t + 1][i])
           self.buf.finish_path(i, last_val)
     return ep_ret, ep_len
 
@@ -331,15 +339,27 @@ class PPO(RLAlgo):
     return self._act(self.params, self._obs_subset(o), deterministic)
 
   def update(self):
-    """80 pi iters w/ KL early stop + 80 v iters (reference: ppo.py:71-105)."""
+    """80 pi iters + 80 v iters on G.bs random minibatches (reference:
+    ppo.py:71-105 — the reference samples `bs`-sized minibatches from the
+    whole epoch buffer and has its KL early stop commented out; --kl_stop=1
+    re-enables the spinup-style stop)."""
     data = self.buf.get()
     batch = {'obs': {k: jnp.asarray(v) for k, v in data['obs'].items()},
              'act': jnp.asarray(data['act']), 'ret': jnp.asarray(data['ret']),
              'adv': jnp.asarray(data['adv']), 'logp': jnp.asarray(data['logp'])}
+    nbuf = int(batch['act'].shape[0])
+    bs = min(int(self.G.bs), nbuf)
+    rng = np.random.RandomState(None)
+    def mb():
+      if bs >= nbuf:
+        return batch
+      idxs = jnp.asarray(rng.randint(0, nbuf, bs))
+      return jax.tree_util.tree_map(lambda x: x[idxs], batch)
+    kl_stop = bool(self.G.get('kl_stop', 0))
     for i in range(self.G.train_pi_iters):
       self.params, self.pi_state, loss, kl, ent = self._pi_update(
-          self.params, self.pi_state, batch)
-      if float(kl) > 1.5 * self.G.target_kl:
+          self.params, self.pi_state, mb())
+      if kl_stop and float(kl) > 1.5 * self.G.target_kl:
         break
     self.logger['loss/pi'] = float(loss)
     self.logger['kl'] = float(kl)
@@ -347,7 +367,7 @@ class PPO(RLAlgo):
     self.logger['stop_iter'] = i
     for _ in range(self.G.train_v_iters):
       self.params, self.v_state, vloss = self._v_update(
-          self.params, self.v_state, batch)
+          self.params, self.v_state, mb())
     self.logger['loss/v'] = float(vloss)
 
   def _test_and_save(self, epoch):
@@ -409,12 +429,16 @@ class PPO(RLAlgo):
         epoch_end = t == self.steps_per_epoch - 1
         for i in range(G.num_envs):
           if done[i] or epoch_end:
+            timeout = ep_len[i] >= G.ep_len
             if done[i]:
-              last_val = 0.0
               self.logger['EpRet'] = ep_ret[i]
               self.logger['EpLen'] = ep_len[i]
               ep_ret[i] = 0
               ep_len[i] = 0
+            # reference bootstrap rule (ppo.py:160-173): zero only at TRUE
+            # terminals; timeouts and epoch cuts bootstrap with V(next obs)
+            if done[i] and not timeout:
+              last_val = 0.0
             else:
               _, v_i, _ = self.get_av(
                   {k: np.asarray(val)[i:i + 1]

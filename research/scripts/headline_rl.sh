@@ -7,7 +7,11 @@
 set -euo pipefail
 ENV=${1:-Luxo}
 WORK=${2:-/tmp/headline_$ENV}
-PPO_STEPS=${3:-400000}
+# Reference budget (research/scripts/README.md:138-147): --total_steps=500000
+# counts VECTOR steps of 12 envs in the reference loop (ppo.py:127, logged as
+# env_interactions = itr * num_envs) => 6M transitions. Our total_steps
+# counts transitions directly.
+PPO_STEPS=${3:-6000000}
 cd "$(dirname "$0")/../.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
@@ -39,10 +43,11 @@ fi
 
 echo "=== [4/7] PPO in the REAL sim"
 # reference headline hyperparameters (research/scripts/README.md:138-147):
-# 12 envs x 341 steps/epoch (full episodes per epoch), 256-wide nets
+# 12 envs, epoch = 4000 vector steps = 48000 transitions, bs=4096
+# minibatches, 256-wide nets
 python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 --lenv=0 \
-  --num_envs=12 --total_steps=$PPO_STEPS --steps_per_epoch=4096 \
-  --hidden_size=256 --logdir=$WORK/ppo_real --test_n=5
+  --num_envs=12 --total_steps=$PPO_STEPS --steps_per_epoch=48000 --bs=4096 \
+  --hidden_size=256 --logdir=$WORK/ppo_real --test_n=2
 
 echo "=== [5/7] eval PPO(real) on real sim, N=1000"
 python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
@@ -51,8 +56,8 @@ python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
 echo "=== [6/7] PPO in the LEARNED sim (FBT)"
 python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 --lenv=1 \
   --model=FBT --weightdir=$WORK/fbt --num_envs=12 \
-  --total_steps=$PPO_STEPS --steps_per_epoch=4096 \
-  --hidden_size=256 --logdir=$WORK/ppo_lenv --test_n=5 --lenv_test=0
+  --total_steps=$PPO_STEPS --steps_per_epoch=48000 --bs=4096 \
+  --hidden_size=256 --logdir=$WORK/ppo_lenv --test_n=2 --lenv_test=0
 
 echo "=== [7/7] eval PPO(lenv) on real sim, N=1000"
 python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \

@@ -1,0 +1,66 @@
+#!/bin/bash
+# Model-quality table protocol (reference: scripts/script.py:6-51 +
+# kicker.py presets): per env — collect, train the MultiStepArbiter, train
+# each world model at reference budgets (encoders 3e4 iters, video models
+# 1e5 iters, bs=32; kicker.py:19-51,123-126), Evaler -> logger.pkl, then
+# metrics_table.py renders the FVD/SSIM/PSNR/cosdist table.
+# Usage: model_table.sh "Urchin Luxo" /tmp/mtable [VIDEO_ITRS] [ENC_ITRS]
+# Runs on the real TPU. One JAX process at a time.
+set -euo pipefail
+ENVS=${1:-"Urchin Luxo"}
+WORK=${2:-/tmp/mtable}
+VID=${3:-100000}
+ENC=${4:-30000}
+cd "$(dirname "$0")/../.."
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+mkdir -p "$WORK"
+
+for ENV in $ENVS; do
+  D=$WORK/$ENV
+  echo "=== [$ENV] collect"
+  [ -d $D/data/train ] || python -m research.main --mode=collect --env=$ENV \
+    --logdir=$D/data --train_barrels=100 --test_barrels=10 --num_envs=4000 \
+    --barrel_format=native
+
+  echo "=== [$ENV] arbiter"
+  [ -f $D/arbiter/MultiStepArbiter.pkl ] || python -m research.main \
+    --mode=train --model=MultiStepArbiter --env=$ENV --datadir=$D/data \
+    --logdir=$D/arbiter --total_itr=$ENC --bs=32 --window=10 \
+    --log_n=5000 --device_dataset=1 --hidden_size=128 --nfilter=64
+
+  echo "=== [$ENV] BVAE (FBT dependency)"
+  [ -f $D/bvae/BVAE.pkl ] || python -m research.main --mode=train \
+    --model=BVAE --env=$ENV --datadir=$D/data --logdir=$D/bvae \
+    --total_itr=$ENC --bs=32 --window=5 --log_n=5000 --device_dataset=1 \
+    --hidden_size=64 --vqK=64 --vqD=16 --nfilter=16
+
+  echo "=== [$ENV] RNLDA (FRNLD dependency)"
+  [ -f $D/rnlda/RNLDA.pkl ] || python -m research.main --mode=train \
+    --model=RNLDA --env=$ENV --datadir=$D/data --logdir=$D/rnlda \
+    --total_itr=$ENC --bs=32 --window=5 --log_n=5000 --device_dataset=1 \
+    --hidden_size=64 --vqK=64 --vqD=8 --nfilter=16
+
+  for M in RSSM FIT FBT FRNLD; do
+    case $M in
+      RSSM) FLAGS="--nfilter=64 --hidden_size=300 --free_nats=0.01 --window=10" ;;
+      FIT)  FLAGS="--n_layer=2 --n_head=4 --n_embed=256 --hidden_size=256 --window=10" ;;
+      FBT)  FLAGS="--n_layer=4 --n_head=8 --n_embed=512 --hidden_size=512 --window=25 --weightdir=$WORK/$ENV/bvae" ;;
+      FRNLD) FLAGS="--n_layer=4 --n_head=8 --n_embed=512 --hidden_size=512 --window=25 --weightdir=$WORK/$ENV/rnlda" ;;
+    esac
+    echo "=== [$ENV] train $M"
+    [ -f $D/$M/$M.pkl ] || python -m research.main --mode=train --model=$M \
+      --env=$ENV --datadir=$D/data --logdir=$D/$M --total_itr=$VID --bs=32 \
+      --log_n=20000 --device_dataset=1 $FLAGS
+    echo "=== [$ENV] eval $M"
+    [ -f $WORK/eval/$M/$ENV/logger.pkl ] || python -m research.main \
+      --mode=eval --model=$M --env=$ENV --datadir=$D/data \
+      --weightdir=$D/$M --arbiterdir=$D/arbiter \
+      --logdir=$WORK/eval/$M/$ENV --bs=32
+  done
+done
+
+echo "=== metrics table"
+python -m research.scripts.metrics_table --logdir=$WORK/eval \
+  --models=RSSM,FIT,FBT,FRNLD --envs=${ENVS// /,}
+echo "=== model_table complete: $WORK"
