@@ -84,7 +84,11 @@ class RLAlgo:
     succeeded = np.zeros(TN, bool)
     ep_done = np.zeros(TN, bool)
     for t in range(self.G.ep_len):
-      a = np.asarray(self.get_a(o, deterministic=True))
+      # the reference samples stochastic actions at test time despite its
+      # "deterministic" comment (pponets.py:102-113 — act() -> pi.sample());
+      # match that protocol (the G flag opts into the mean-action variant)
+      a = np.asarray(self.get_a(
+          o, deterministic=bool(self.G.get('test_deterministic', 0))))
       o, rew, done, info = _env.step(a)
       rew = np.asarray(rew)
       done = np.asarray(done)

@@ -50,6 +50,7 @@ def rl_config():
   _G.steps_per_epoch = 4000
   _G.target_kl = 0.01
   _G.kl_stop = 0  # reference's KL early stop is commented out (ppo.py:82-83)
+  _G.test_deterministic = 0  # reference tests/evals with pi.sample()
   _G.firehose = 0
   _G.fused_rollout = 1  # one-dispatch on-device PPO epoch rollouts
   return _G

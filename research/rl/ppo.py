@@ -54,9 +54,10 @@ class PPO(RLAlgo):
       v = ac.apply(params, obs, method='value')
       return a, v, logp
 
-    def act_fn(params, obs, deterministic):
+    def act_fn(params, obs, key, deterministic):
       mu, std = ac.apply(params, obs, method='policy')
-      return mu
+      return mu if deterministic else mu + std * jax.random.normal(
+          key, mu.shape)
 
     def pi_loss(params, batch):
       mu, std = ac.apply(params, batch['obs'], method='policy')
@@ -85,7 +86,7 @@ class PPO(RLAlgo):
       return optax.apply_updates(params, updates), opt_state, loss
 
     self._step = jax.jit(step_fn)
-    self._act = jax.jit(act_fn, static_argnums=2)
+    self._act = jax.jit(act_fn, static_argnums=3)
     self._pi_update = jax.jit(pi_update)
     self._v_update = jax.jit(v_update)
 
@@ -336,7 +337,8 @@ class PPO(RLAlgo):
     return self._step(self.params, self._obs_subset(o), k)
 
   def get_a(self, o, deterministic=False):
-    return self._act(self.params, self._obs_subset(o), deterministic)
+    self.key, k = jax.random.split(self.key)
+    return self._act(self.params, self._obs_subset(o), k, deterministic)
 
   def update(self):
     """80 pi iters + 80 v iters on G.bs random minibatches (reference:

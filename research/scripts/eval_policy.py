@@ -31,7 +31,11 @@ def evaluate(G, get_a):
     succeeded = np.zeros(N_ENVS, bool)
     ep_done = np.zeros(N_ENVS, bool)
     for t in range(G.ep_len):
-      a = np.asarray(get_a(o, deterministic=True))
+      # reference protocol: eval_policy.py:51 runs ac.step -> pi.sample()
+      # (stochastic), so the published 0.999/0.988 numbers are sampled-action
+      # success rates; --test_deterministic=1 opts into the mean action
+      a = np.asarray(get_a(o, deterministic=bool(
+          G.get('test_deterministic', 0))))
       o, rew, done, infos = venv.step(a)
       succ = np.array([i.get('success', False) for i in infos])
       succeeded |= (succ & ~ep_done)
