@@ -484,7 +484,10 @@ def _build_kernel(spec: WorldSpec, T: int):
 
       # ---- 8. NGS position iterations (contacts, then joints) -----------
       def pos_body(_, pcarry):
-        cx, cy, aa, done = (*[list(x) for x in pcarry[:3]], pcarry[3])
+        # NOTE: the early-exit mask is carried as f32 (0/1), not bool — Mosaic
+        # cannot legalize an i1 vector as an scf.for loop carry on TPU.
+        cx, cy, aa, done_f = (*[list(x) for x in pcarry[:3]], pcarry[3])
+        done = done_f > 0.5
         # b2Island::Solve position-loop early exit, as a per-world mask
         # (see physics._position_solve)
         cxp, cyp, aap = list(cx), list(cy), list(aa)
@@ -559,12 +562,13 @@ def _build_kernel(spec: WorldSpec, T: int):
           cx[i] = jnp.where(done, cxp[i], cx[i])
           cy[i] = jnp.where(done, cyp[i], cy[i])
           aa[i] = jnp.where(done, aap[i], aa[i])
-        return (tuple(cx), tuple(cy), tuple(aa), done | okay)
+        return (tuple(cx), tuple(cy), tuple(aa),
+                jnp.maximum(done_f, okay.astype(jnp.float32)))
 
       cx, cy, aa, _ = jax.lax.fori_loop(
           0, pos_iters, pos_body,
           (tuple(cx), tuple(cy), tuple(aa),
-           jnp.zeros_like(cx[0], jnp.bool_)))
+           jnp.zeros_like(cx[0])))
       cx, cy, aa = list(cx), list(cy), list(aa)
 
       # ---- 9. sleeping (static islands: joint graph, no pairs) ----------
