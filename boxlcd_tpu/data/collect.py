@@ -231,7 +231,10 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
     t0 = time.time()
     for r in range(reps):
       key, sub = jax.random.split(key)
-      chunks.append(jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)))
+      from boxlcd_tpu.utils import retry_transient
+      chunks.append(retry_transient(
+          lambda: jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)),
+          label='collect chunk'))
     traj = chunks[0] if reps == 1 else \
         jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
     n = min(per_dispatch, num_barrels - bi)

@@ -17,6 +17,31 @@ import re
 import numpy as np
 
 
+def retry_transient(fn, attempts=3, label='', sleep_s=10.0):
+  """Re-dispatch `fn` on transient device-runtime faults.
+
+  The shared-tunnel TPU backend occasionally fails an execution with
+  INVALID_ARGUMENT/INTERNAL at result-materialization time even though the
+  identical program ran fine moments before (observed during long collect
+  chains). `fn` must be a pure re-dispatchable closure — dispatch AND
+  materialize inside it, commit its results only after it returns.
+  """
+  import time
+  import jax
+  last = None
+  for i in range(attempts):
+    try:
+      return fn()
+    except jax.errors.JaxRuntimeError as e:  # includes XlaRuntimeError
+      last = e
+      if i == attempts - 1:
+        break
+      print(f'[retry_transient] {label or fn}: {type(e).__name__}: {e}; '
+            f'retrying ({i + 1}/{attempts - 1})', flush=True)
+      time.sleep(sleep_s)
+  raise last
+
+
 class AttrDict(dict):
   """dict with attribute access; the flat config object used everywhere."""
   __setattr__ = dict.__setitem__

@@ -53,6 +53,7 @@ def rl_config():
   _G.test_deterministic = 0  # reference tests/evals with pi.sample()
   _G.firehose = 0
   _G.fused_rollout = 1  # one-dispatch on-device PPO epoch rollouts
+  _G.resume = 0  # 1: resume from logdir/ppo_last.pkl if present (epoch kept)
   return _G
 
 
@@ -81,7 +82,10 @@ def main(argv=None):
   G = parse(argv)
   if G.algo == 'ppo':
     from research.rl.ppo import PPO
-    PPO(G).run()
+    algo = PPO(G)
+    if G.get('resume') and (G.logdir / 'ppo_last.pkl').exists():
+      algo.load(G.logdir, name='ppo_last.pkl')
+    algo.run()
   elif G.algo == 'sac':
     from research.rl.sac import SAC
     sac = SAC(G)

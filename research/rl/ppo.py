@@ -104,16 +104,18 @@ class PPO(RLAlgo):
     blob = {'params': flax.serialization.to_bytes(self.params),
             'pi_state': flax.serialization.to_bytes(self.pi_state),
             'v_state': flax.serialization.to_bytes(self.v_state),
-            'key': np.asarray(self.key), 'G': dict(self.G)}
+            'key': np.asarray(self.key), 'G': dict(self.G),
+            'epoch': int(getattr(self, '_epoch', 0)),
+            'best_succ': float(getattr(self, '_best_succ', -1.0))}
     with open(direc / name, 'wb') as f:
       pickle.dump(blob, f)
     print('SAVED PPO', direc / name)
 
-  def load(self, direc):
+  def load(self, direc, name='ppo.pkl'):
     import pickle
     from pathlib import Path
     import flax
-    with open(Path(direc) / 'ppo.pkl', 'rb') as f:
+    with open(Path(direc) / name, 'rb') as f:
       blob = pickle.load(f)
     self.params = flax.serialization.from_bytes(self.params, blob['params'])
     self.pi_state = flax.serialization.from_bytes(self.pi_state,
@@ -121,7 +123,10 @@ class PPO(RLAlgo):
     self.v_state = flax.serialization.from_bytes(self.v_state,
                                                  blob['v_state'])
     self.key = jnp.asarray(blob['key'])
-    print('LOADED PPO', Path(direc) / 'ppo.pkl')
+    self._start_epoch = int(blob.get('epoch', 0)) + 1
+    self._best_succ = float(blob.get('best_succ', -1.0))
+    print('LOADED PPO', Path(direc) / name,
+          f'(resume at epoch {self._start_epoch})')
 
   def _build_fused(self):
     """One-dispatch epoch rollout: policy + env step + reward scanned on
@@ -171,9 +176,14 @@ class PPO(RLAlgo):
     if self.env.states is None:
       self.env.reset()
     self.key, k = jax.random.split(self.key)
-    (self.env.states, self.env.goals, traj, last_v) = self._rollout(
-        self.params, self.env.states, self.env.goals, k,
-        self.steps_per_epoch)
+
+    def attempt():  # dispatch + materialize; commit only after success
+      out = self._rollout(self.params, self.env.states, self.env.goals, k,
+                          self.steps_per_epoch)
+      np.asarray(out[3])  # barrier: all outputs share one executable
+      return out
+    (self.env.states, self.env.goals, traj, last_v) = utils.retry_transient(
+        attempt, label='ppo fused epoch')
     return self._store_traj(traj, last_v, ep_ret, ep_len)
 
   def _build_fused_lenv(self):
@@ -291,9 +301,15 @@ class PPO(RLAlgo):
                           dict(self.env.goal))
     wb, ptr, ep_t, goals = self._lenv_state
     self.key, k = jax.random.split(self.key)
-    wb, ptr, ep_t, goals, traj, last_v = self._lenv_rollout(
-        self.params, self.env.lenv.model.params, wb, ptr, ep_t, goals, k,
-        self.steps_per_epoch)
+
+    def attempt():
+      out = self._lenv_rollout(
+          self.params, self.env.lenv.model.params, wb, ptr, ep_t, goals, k,
+          self.steps_per_epoch)
+      np.asarray(out[5])  # barrier: all outputs share one executable
+      return out
+    wb, ptr, ep_t, goals, traj, last_v = utils.retry_transient(
+        attempt, label='ppo fused lenv epoch')
     self._lenv_state = (wb, ptr, ep_t, goals)
     return self._store_traj(traj, last_v, ep_ret, ep_len_acc)
 
@@ -404,7 +420,8 @@ class PPO(RLAlgo):
     o = None if fused_lenv else self.env.reset()
     ep_ret = np.zeros(G.num_envs)
     ep_len = np.zeros(G.num_envs)
-    for epoch in range(epochs):
+    for epoch in range(getattr(self, '_start_epoch', 0), epochs):
+      self._epoch = epoch
       ep_start = time.time()
       if fused or fused_lenv:
         if fused:

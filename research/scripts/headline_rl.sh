@@ -17,9 +17,21 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 mkdir -p "$WORK"
 
+# the shared-tunnel TPU occasionally fails an execution with a transient
+# INVALID_ARGUMENT; each phase is idempotent-or-resumable, so rerun it
+retry() {
+  for i in 1 2 3; do
+    "$@" && return 0
+    echo "=== phase failed (attempt $i); retrying in 30s" >&2
+    sleep 30
+  done
+  return 1
+}
+
 echo "=== [1/7] collect $ENV"
-if [ ! -d "$WORK/data/train" ]; then
-  python -m research.main --mode=collect --env=$ENV --logdir=$WORK/data \
+if [ ! -d "$WORK/data/train" ] || \
+   [ "$(ls "$WORK/data/train" | wc -l)" -lt 100 ]; then
+  retry python -m research.main --mode=collect --env=$ENV --logdir=$WORK/data \
     --train_barrels=100 --test_barrels=10 --num_envs=4000 \
     --barrel_format=native
 fi
@@ -27,7 +39,7 @@ fi
 echo "=== [2/7] BVAE"
 if [ ! -f "$WORK/bvae/BVAE.pkl" ]; then
   # kicker preset hyperparams (reference: kicker.py:19-26)
-  python -m research.main --mode=train --model=BVAE --env=$ENV \
+  retry python -m research.main --mode=train --model=BVAE --env=$ENV \
     --datadir=$WORK/data --logdir=$WORK/bvae --total_itr=30000 --bs=32 \
     --window=5 --log_n=5000 --device_dataset=1 \
     --hidden_size=64 --vqK=64 --vqD=16 --nfilter=16
@@ -35,7 +47,7 @@ fi
 
 echo "=== [3/7] FBT"
 if [ ! -f "$WORK/fbt/FBT.pkl" ]; then
-  python -m research.main --mode=train --model=FBT --env=$ENV \
+  retry python -m research.main --mode=train --model=FBT --env=$ENV \
     --datadir=$WORK/data --weightdir=$WORK/bvae --logdir=$WORK/fbt \
     --total_itr=100000 --bs=32 --window=25 --n_embed=512 --n_head=8 \
     --n_layer=4 --log_n=20000 --device_dataset=1
@@ -44,23 +56,30 @@ fi
 echo "=== [4/7] PPO in the REAL sim"
 # reference headline hyperparameters (research/scripts/README.md:138-147):
 # 12 envs, epoch = 4000 vector steps = 48000 transitions, bs=4096
-# minibatches, 256-wide nets
-python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 --lenv=0 \
-  --num_envs=12 --total_steps=$PPO_STEPS --steps_per_epoch=48000 --bs=4096 \
-  --hidden_size=256 --logdir=$WORK/ppo_real --test_n=2
+# minibatches, 256-wide nets; --resume=1 continues from ppo_last.pkl on retry
+if [ ! -f "$WORK/ppo_real/done" ]; then
+  retry python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 \
+    --lenv=0 --num_envs=12 --total_steps=$PPO_STEPS --steps_per_epoch=48000 \
+    --bs=4096 --hidden_size=256 --logdir=$WORK/ppo_real --test_n=2 --resume=1
+  touch "$WORK/ppo_real/done"
+fi
 
 echo "=== [5/7] eval PPO(real) on real sim, N=1000"
-python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
-  --logdir=$WORK/ppo_real | tail -3
+retry python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
+  --logdir=$WORK/ppo_real 2>&1 | tail -3
 
 echo "=== [6/7] PPO in the LEARNED sim (FBT)"
-python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 --lenv=1 \
-  --model=FBT --weightdir=$WORK/fbt --num_envs=12 \
-  --total_steps=$PPO_STEPS --steps_per_epoch=48000 --bs=4096 \
-  --hidden_size=256 --logdir=$WORK/ppo_lenv --test_n=2 --lenv_test=0
+if [ ! -f "$WORK/ppo_lenv/done" ]; then
+  retry python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 \
+    --lenv=1 --model=FBT --weightdir=$WORK/fbt --num_envs=12 \
+    --total_steps=$PPO_STEPS --steps_per_epoch=48000 --bs=4096 \
+    --hidden_size=256 --logdir=$WORK/ppo_lenv --test_n=2 --lenv_test=0 \
+    --resume=1
+  touch "$WORK/ppo_lenv/done"
+fi
 
 echo "=== [7/7] eval PPO(lenv) on real sim, N=1000"
-python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
-  --logdir=$WORK/ppo_lenv | tail -3
+retry python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
+  --logdir=$WORK/ppo_lenv 2>&1 | tail -3
 
 echo "=== chain complete: $WORK"

@@ -13,6 +13,9 @@ import numpy as np
 import yaml
 
 
+from boxlcd_tpu.utils import retry_transient  # noqa: F401 (re-export)
+
+
 def flatten_first(x):
   """(A, B, ...) -> (A*B, ...) (reference: utils.py flatten_first)."""
   return x.reshape(-1, *x.shape[2:])
