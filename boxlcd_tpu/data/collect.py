@@ -164,6 +164,17 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
   """Fill `num_barrels` shards of BARREL_SIZE episodes each."""
   logdir = Path(G.logdir) / prefix
   logdir.mkdir(parents=True, exist_ok=True)
+  # resume-aware: a rerun after a transient device fault only collects the
+  # missing barrels (shards are self-contained, so partial sets are valid)
+  existing = len(list(logdir.glob('*.barrel'))) \
+      + len(list(logdir.glob('*.tbarrel')))
+  if existing >= num_barrels:
+    print(f'[collect] {prefix}: {existing} barrels already present, skipping')
+    return key
+  num_barrels -= existing
+  if existing:  # decorrelate the resumed episodes from the ones on disk
+    key = jax.random.fold_in(key, existing)
+    print(f'[collect] {prefix}: resuming, {num_barrels} barrels to go')
   batch_size = batch_size or int(G.get('num_envs', 0)) or 250
   # batches larger than one barrel amortize the per-dispatch host-link
   # round-trip (measured ~3 s fixed cost regardless of 38 vs 112 MB payload)

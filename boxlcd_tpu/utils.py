@@ -27,12 +27,17 @@ def retry_transient(fn, attempts=3, label='', sleep_s=10.0):
   materialize inside it, commit its results only after it returns.
   """
   import time
-  import jax
+  # the backend surfaces these as JaxRuntimeError, RuntimeError, or plain
+  # ValueError depending on which layer trips, so match on the status text
+  markers = ('INVALID_ARGUMENT', 'INTERNAL', 'UNAVAILABLE',
+             'RESOURCE_EXHAUSTED', 'DEADLINE_EXCEEDED', 'TPU backend error')
   last = None
   for i in range(attempts):
     try:
       return fn()
-    except jax.errors.JaxRuntimeError as e:  # includes XlaRuntimeError
+    except Exception as e:
+      if not any(m in str(e) for m in markers):
+        raise
       last = e
       if i == attempts - 1:
         break

@@ -42,6 +42,25 @@ class PPO(RLAlgo):
     self.steps_per_epoch = G.steps_per_epoch // G.num_envs
     self.buf = PPOBuffer(obs_shapes, act_dim, G.num_envs,
                          self.steps_per_epoch, G.gamma, G.lam)
+    # --mesh=dpN shards the fused rollout's env batch over an N-device mesh
+    # (same layout as Net._init: batch on 'dp', params replicated, traj
+    # time-major so its batch axis is axis 1)
+    mesh_spec = str(G.get('mesh', '') or '')
+    if mesh_spec:
+      assert mesh_spec.startswith('dp'), f'unsupported mesh {mesh_spec!r}'
+      ndev = int(mesh_spec[2:])
+      avail = jax.devices()
+      assert len(avail) >= ndev, \
+          f'mesh {mesh_spec} needs {ndev} devices, have {len(avail)}'
+      assert G.num_envs % ndev == 0, \
+          f'num_envs {G.num_envs} must divide over {ndev} devices'
+      from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+      self.mesh = Mesh(np.array(avail[:ndev]).reshape(ndev, 1), ('dp', 'tp'))
+      self._repl = NamedSharding(self.mesh, P())
+      self._bshard = NamedSharding(self.mesh, P('dp'))
+      self._tshard = NamedSharding(self.mesh, P(None, 'dp'))  # (T, B, ...)
+    else:
+      self.mesh = None
     self._build()
 
   def _build(self):
@@ -168,7 +187,14 @@ class PPO(RLAlgo):
       last_v = ac.apply(params, net_obs(states, goals), method='value')
       return states, goals, traj, last_v
 
-    self._rollout = jax.jit(rollout, static_argnums=4)
+    if self.mesh is not None:
+      self._rollout = jax.jit(
+          rollout, static_argnums=4,
+          in_shardings=(self._repl, self._bshard, self._bshard, self._repl),
+          out_shardings=(self._bshard, self._bshard, self._tshard,
+                         self._bshard))
+    else:
+      self._rollout = jax.jit(rollout, static_argnums=4)
 
   def _run_fused_epoch(self, ep_ret, ep_len):
     """Collect one epoch on device and feed the host GAE buffer."""
@@ -287,7 +313,15 @@ class PPO(RLAlgo):
       last_v = ac.apply(params, o, method='value')
       return wb, ptr, ep_t, goals, traj, last_v
 
-    self._lenv_rollout = jax.jit(rollout, static_argnums=7)
+    if self.mesh is not None:
+      self._lenv_rollout = jax.jit(
+          rollout, static_argnums=7,
+          in_shardings=(self._repl, self._repl, self._bshard, self._repl,
+                        self._repl, self._bshard, self._repl),
+          out_shardings=(self._bshard, self._repl, self._repl, self._bshard,
+                         self._tshard, self._bshard))
+    else:
+      self._lenv_rollout = jax.jit(rollout, static_argnums=7)
     self._lenv_state = None
 
   def _run_fused_lenv_epoch(self, ep_ret, ep_len_acc):
