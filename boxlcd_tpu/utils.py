@@ -17,7 +17,7 @@ import re
 import numpy as np
 
 
-def retry_transient(fn, attempts=3, label='', sleep_s=10.0):
+def retry_transient(fn, attempts=5, label='', sleep_s=20.0):
   """Re-dispatch `fn` on transient device-runtime faults.
 
   The shared-tunnel TPU backend occasionally fails an execution with
@@ -43,7 +43,10 @@ def retry_transient(fn, attempts=3, label='', sleep_s=10.0):
         break
       print(f'[retry_transient] {label or fn}: {type(e).__name__}: {e}; '
             f'retrying ({i + 1}/{attempts - 1})', flush=True)
-      time.sleep(sleep_s)
+      # exponential backoff: the tunnel's bad periods last minutes, not
+      # seconds (measured: a dispatch that failed 3x over 30 s succeeded
+      # for 30/30 keys a few minutes later)
+      time.sleep(sleep_s * (2 ** i))
   raise last
 
 

@@ -54,12 +54,15 @@ if [ ! -f "$WORK/fbt/FBT.pkl" ]; then
 fi
 
 echo "=== [4/7] PPO in the REAL sim"
-# reference headline hyperparameters (research/scripts/README.md:138-147):
-# 12 envs, epoch = 4000 vector steps = 48000 transitions, bs=4096
-# minibatches, 256-wide nets; --resume=1 continues from ppo_last.pkl on retry
+# reference headline budgets (research/scripts/README.md:138-147): epoch =
+# 48000 transitions, bs=4096 minibatches, 256-wide nets. The reference runs
+# 12 env PROCESSES because its envs are CPU Box2D; here the vector env is
+# vmapped on device, so the TPU-first batch is 128 worlds x 375 scan
+# steps/epoch — same transitions, same epoch size, same update schedule.
+# --resume=1 continues from ppo_last.pkl on retry.
 if [ ! -f "$WORK/ppo_real/done" ]; then
   retry python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 \
-    --lenv=0 --num_envs=12 --total_steps=$PPO_STEPS --steps_per_epoch=48000 \
+    --lenv=0 --num_envs=128 --total_steps=$PPO_STEPS --steps_per_epoch=48000 \
     --bs=4096 --hidden_size=256 --logdir=$WORK/ppo_real --test_n=2 --resume=1
   touch "$WORK/ppo_real/done"
 fi
@@ -71,7 +74,7 @@ retry python -m research.scripts.eval_policy ppo --env=$ENV --goals=1 \
 echo "=== [6/7] PPO in the LEARNED sim (FBT)"
 if [ ! -f "$WORK/ppo_lenv/done" ]; then
   retry python -m research.rl.main ppo --env=$ENV --goals=1 --autoreset=1 \
-    --lenv=1 --model=FBT --weightdir=$WORK/fbt --num_envs=12 \
+    --lenv=1 --model=FBT --weightdir=$WORK/fbt --num_envs=128 \
     --total_steps=$PPO_STEPS --steps_per_epoch=48000 --bs=4096 \
     --hidden_size=256 --logdir=$WORK/ppo_lenv --test_n=2 --lenv_test=0 \
     --resume=1
