@@ -166,8 +166,8 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
   logdir.mkdir(parents=True, exist_ok=True)
   # resume-aware: a rerun after a transient device fault only collects the
   # missing barrels (shards are self-contained, so partial sets are valid)
-  existing = len(list(logdir.glob('*.barrel'))) \
-      + len(list(logdir.glob('*.tbarrel')))
+  existing = len(list(logdir.glob('*.barrel.npz'))) \
+      + len(list(logdir.glob('*.tbarrel.npz')))
   if existing >= num_barrels:
     print(f'[collect] {prefix}: {existing} barrels already present, skipping')
     return key
@@ -236,16 +236,38 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
       np.savez_compressed(logdir / f'{timestamp}-{bi:05d}-{T}.barrel',
                           action=action, **traj)
 
+  jfn_fallback = [None]
+
+  def collect_chunk(sub):
+    from boxlcd_tpu.utils import retry_transient
+    try:
+      return retry_transient(
+          lambda: jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)),
+          label='collect chunk')
+    except Exception as e:
+      if not use_mega:
+        raise
+      # the megakernel occasionally hits a persistent per-dispatch TPU
+      # backend fault (same key fails across process restarts — round-3
+      # chain log); the per-step jnp path is slower but robust, so finish
+      # this chunk on it rather than lose the whole collection
+      print(f'[collect] mega dispatch failed persistently '
+            f'({type(e).__name__}); jnp fallback for this chunk', flush=True)
+      if jfn_fallback[0] is None:
+        fb, _ = make_rollout_fn(env, pack_lcd=True)
+        jfn_fallback[0] = jax.jit(fb, static_argnums=1)
+      return retry_transient(
+          lambda: jax.tree_util.tree_map(
+              np.asarray, jfn_fallback[0](sub, batch_size)),
+          label='collect chunk (jnp fallback)')
+
   bi = 0
   while bi < num_barrels:
     chunks = []
     t0 = time.time()
     for r in range(reps):
       key, sub = jax.random.split(key)
-      from boxlcd_tpu.utils import retry_transient
-      chunks.append(retry_transient(
-          lambda: jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)),
-          label='collect chunk'))
+      chunks.append(collect_chunk(sub))
     traj = chunks[0] if reps == 1 else \
         jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
     n = min(per_dispatch, num_barrels - bi)

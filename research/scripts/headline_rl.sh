@@ -17,13 +17,16 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 mkdir -p "$WORK"
 
-# the shared-tunnel TPU occasionally fails an execution with a transient
-# INVALID_ARGUMENT; each phase is idempotent-or-resumable, so rerun it
+# the shared-tunnel TPU fails executions in episodic bad periods that last
+# minutes (round-3 measurement: a key that failed 12 dispatches across 3
+# process restarts over 30 min passed 9/9 once the episode ended); each
+# phase is idempotent-or-resumable, so rerun it with long waits
 retry() {
-  for i in 1 2 3; do
+  local waits=(30 120 300 600 600 600)
+  for i in 0 1 2 3 4 5; do
     "$@" && return 0
-    echo "=== phase failed (attempt $i); retrying in 30s" >&2
-    sleep 30
+    echo "=== phase failed (attempt $((i+1))); retrying in ${waits[$i]}s" >&2
+    sleep "${waits[$i]}"
   done
   return 1
 }
