@@ -219,47 +219,40 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
   def write_barrel(traj, bi):
     action = traj.pop('action')
     lcd = traj.pop('lcd')
-    if lcd.shape[-1] != env.lcd_w:  # device-packed bits -> full frames
-      lcd = np.unpackbits(lcd, axis=-1)
-    traj['lcd'] = lcd.astype(bool)
     timestamp = datetime.now().strftime('%Y%m%dT%H%M%S')
     if G.get('barrel_format', 'npz') == 'native':
       # bit-packed + xor-delta LCD via the C++ codec (~8x smaller payload);
       # stored uncompressed — zlib on the single-core host would dominate
       # the whole datagen pipeline otherwise
       from boxlcd_tpu.data import native
-      blob = native.pack_frames(traj.pop('lcd'))
+      if lcd.shape[-1] != env.lcd_w:
+        # device-packed bits (MSB-first along W = the pack_bits layout):
+        # feed the codec directly — unpack->repack on the 1-core host costs
+        # seconds per barrel and starves the TPU tunnel relay alongside
+        blob = native.pack_frames_packed(
+            lcd, (*lcd.shape[:-1], env.lcd_w))
+      else:
+        blob = native.pack_frames(lcd.astype(bool))
       np.savez(logdir / f'{timestamp}-{bi:05d}-{T}.tbarrel',
                action=action, lcd_packed=blob['data'],
                lcd_shape=blob['shape'], **traj)
     else:
+      if lcd.shape[-1] != env.lcd_w:  # device-packed bits -> full frames
+        lcd = np.unpackbits(lcd, axis=-1)
       np.savez_compressed(logdir / f'{timestamp}-{bi:05d}-{T}.barrel',
-                          action=action, **traj)
-
-  jfn_fallback = [None]
+                          action=action, lcd=lcd.astype(bool), **traj)
 
   def collect_chunk(sub):
+    # once a dispatch fails with INVALID_ARGUMENT the process's tunnel
+    # session is poisoned — every later dispatch fails too, including a
+    # freshly compiled different executable (round-3 chain log). One quick
+    # retry covers genuinely transient cases; after that, die fast so the
+    # caller's process-level retry restarts with a clean session (resume
+    # re-collects only the missing barrels, with a fold_in'd key).
     from boxlcd_tpu.utils import retry_transient
-    try:
-      return retry_transient(
-          lambda: jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)),
-          label='collect chunk')
-    except Exception as e:
-      if not use_mega:
-        raise
-      # the megakernel occasionally hits a persistent per-dispatch TPU
-      # backend fault (same key fails across process restarts — round-3
-      # chain log); the per-step jnp path is slower but robust, so finish
-      # this chunk on it rather than lose the whole collection
-      print(f'[collect] mega dispatch failed persistently '
-            f'({type(e).__name__}); jnp fallback for this chunk', flush=True)
-      if jfn_fallback[0] is None:
-        fb, _ = make_rollout_fn(env, pack_lcd=True)
-        jfn_fallback[0] = jax.jit(fb, static_argnums=1)
-      return retry_transient(
-          lambda: jax.tree_util.tree_map(
-              np.asarray, jfn_fallback[0](sub, batch_size)),
-          label='collect chunk (jnp fallback)')
+    return retry_transient(
+        lambda: jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)),
+        label='collect chunk', attempts=2, sleep_s=10)
 
   bi = 0
   while bi < num_barrels:

@@ -61,6 +61,26 @@ def pack_frames(frames: np.ndarray) -> dict:
   return {'data': enc, 'shape': np.array(shape, np.int64)}
 
 
+def pack_frames_packed(packed: np.ndarray, shape) -> dict:
+  """Like pack_frames but for frames ALREADY bit-packed on device
+  (boxlcd_tpu.data.collect packs MSB-first along W, the same layout
+  pack_bits produces): skips the unpack->repack round-trip, which on the
+  1-core host costs seconds per barrel and starves the TPU tunnel relay.
+  packed: (..., T, H, W//8) uint8; shape: the logical bool frame shape
+  (..., T, H, W)."""
+  shape = tuple(int(x) for x in shape)
+  T = shape[-3]
+  frame_bytes = shape[-2] * shape[-1] // 8
+  L = lib()
+  n_vids = int(np.prod(shape[:-3])) if len(shape) > 3 else 1
+  vids = np.ascontiguousarray(
+      packed.reshape(n_vids, T, frame_bytes), np.uint8)
+  enc = np.empty_like(vids)
+  for v in range(n_vids):
+    L.xor_delta_encode(_cptr(vids[v]), T, frame_bytes, _cptr(enc[v]))
+  return {'data': enc, 'shape': np.array(shape, np.int64)}
+
+
 def unpack_frames(blob: dict) -> np.ndarray:
   shape = tuple(int(x) for x in blob['shape'])
   T = shape[-3]

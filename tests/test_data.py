@@ -48,6 +48,24 @@ def test_native_barrel_codec():
   assert (rec == frames).all()
 
 
+def test_native_codec_prepacked():
+  """pack_frames_packed (device-packed input) must be bitwise-identical to
+  pack_frames (bool input) — collect feeds the codec device-packed bits
+  directly, skipping the host unpack->repack round-trip."""
+  from boxlcd_tpu.data.native import (pack_frames, pack_frames_packed,
+                                      unpack_frames)
+  rng = np.random.RandomState(7)
+  frames = rng.rand(5, 13, 16, 32) > 0.6
+  bitw = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.int32)
+  packed = (frames.reshape(*frames.shape[:-1], -1, 8)
+            * bitw).sum(-1).astype(np.uint8)   # the collect.py device layout
+  a = pack_frames(frames)
+  b = pack_frames_packed(packed, frames.shape)
+  assert (a['data'] == b['data']).all()
+  assert (a['shape'] == b['shape']).all()
+  assert (unpack_frames(b) == frames).all()
+
+
 def test_device_dataset_packed_lcd(tmp_path):
   """Bit-packed HBM storage must sample identically to byte storage."""
   import jax
