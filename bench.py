@@ -67,7 +67,13 @@ def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3):
     # the datagen fast path: ONE Pallas program runs all T steps (launch
     # overhead amortized /T), then obs/raster packs the whole (T, B)
     # trajectory in one vectorized pass
+    from boxlcd_tpu.render import traj_raster
     rollout = mega.make_rollout(spec, T)
+    use_tr = (traj_raster.supports(spec) and env.lcd_w <= 32
+              and str(env.G.get('raster', 'exact')) == 'exact'
+              and bool(int(os.environ.get('BENCH_TRAJ_RASTER', '1'))))
+    trender = (traj_raster.make_traj_render(spec, env.lcd_w, env.lcd_h, T)
+               if use_tr else None)
     has_act = jnp.asarray(spec.j_act >= 0)
     idx = np.maximum(spec.j_act, 0)
     j_speed = jnp.asarray(spec.j_speed)
@@ -82,6 +88,14 @@ def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3):
       states, traj = rollout(states, ms)
       ic = jnp.broadcast_to(states.is_circle[None],
                             (T, B, n)).reshape(T * B, n)
+      if trender is not None:
+        # exact frames rendered straight from the megakernel's pose tiles
+        # (no transposes / per-body packing between physics and raster)
+        lcd = traj_raster.rows_to_lcd(trender(traj['tiles']), env.lcd_w)
+        obs = jax.vmap(lambda i, c, a: env.observe_pose(i, c, a, lcd=False))(
+            ic, traj['c'].reshape(T * B, n, 2), traj['a'].reshape(T * B, n))
+        return states, (lcd.sum() + obs['full_state'].sum()
+                        + obs['proprio'].sum())
       obs = jax.vmap(env.observe_pose)(
           ic, traj['c'].reshape(T * B, n, 2), traj['a'].reshape(T * B, n))
       # consume EVERY obs component so none of the packing is DCE'd

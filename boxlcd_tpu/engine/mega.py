@@ -727,9 +727,12 @@ def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
         sleep_time=_from_tiles(slp, B),
         prev_motor=_from_tiles(pm, B),
         ep_t=states.ep_t + T)
-    # traj tiles (T, n, 6, B/128, 128) -> (T, B, n, 6)
+    # traj tiles (T, n, 6, B/128, 128) -> (T, B, n, 6); 'tiles' exposes the
+    # raw tile layout for consumers that avoid the transpose entirely
+    # (render/traj_raster.py renders LCD frames straight from it)
     traj = jnp.moveaxis(tr.reshape(T, n, 6, B), -1, 1)
     return new_states, {'c': traj[..., 0:2], 'a': traj[..., 2],
-                        'v': traj[..., 3:5], 'w': traj[..., 5]}
+                        'v': traj[..., 3:5], 'w': traj[..., 5],
+                        'tiles': tr}
 
   return rollout

@@ -168,10 +168,11 @@ class Env:
     """Pack the dict observation (reference: world_env.py:387-429)."""
     return self.observe_pose(state.is_circle, state.c, state.a)
 
-  def observe_pose(self, is_circle, c, a):
+  def observe_pose(self, is_circle, c, a, lcd=True):
     """Observation from a bare pose (no WorldState needed) — obs depend only
     on (is_circle, c, a), which lets the megakernel datagen path pack obs
-    for a whole (T, B) trajectory in one vectorized pass."""
+    for a whole (T, B) trajectory in one vectorized pass. lcd=False skips
+    the frame render (callers that raster via render/traj_raster.py)."""
     s = self.spec
     state = _Pose(is_circle=is_circle, c=c, a=a)
     origin = physics.origin_pos(s, state)
@@ -187,6 +188,8 @@ class Env:
     full = utils.rmapto(vals, jnp.asarray(s.obs_bounds).T).astype(jnp.float32)
     proprio = (full[jnp.asarray(s.pobs_idxs)] if s.pobs_size
                else jnp.zeros(1, jnp.float32))
+    if not lcd:
+      return {'full_state': full, 'proprio': proprio}
     if str(self.G.get('raster', 'exact')) == 'fast':
       # approximate pixel-center coverage (~96% agreement with PIL): much
       # cheaper on current XLA-TPU (the exact scanline program hits a
