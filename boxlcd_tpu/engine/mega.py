@@ -40,7 +40,13 @@ from boxlcd_tpu.engine.physics import (
     VELOCITY_THRESHOLD, WorldState, _block_lcp, _joint_block)
 from boxlcd_tpu.engine.spec import CIRCLE, POLY, WorldSpec
 
-SUB, LANE = 8, 128
+import os
+
+# worlds per (sublane, lane) tile: SUB rows of 128 lanes. The VPU is natively
+# (8, 128); taller tiles amortize per-op issue overhead at the cost of VMEM
+# (BOXLCD_MEGA_SUB=16/32 for experiments — BLOCK consumers pad to it).
+SUB = int(os.environ.get('BOXLCD_MEGA_SUB', 8))
+LANE = 128
 BLOCK = SUB * LANE
 BIG = 1e9
 
@@ -616,15 +622,13 @@ def _build_kernel(spec: WorldSpec, T: int):
       st = jax.lax.fori_loop(0, substeps,
                              lambda _, s: substep(s, ms, motor_changed), st)
       st = st[:15] + (tuple(ms),)
-      # stream per-step poses + velocities for the obs pipeline
-      cx, cy, aa, vx, vy, om = st[0], st[1], st[2], st[3], st[4], st[5]
+      # stream per-step poses for the obs pipeline (velocities are not
+      # observed — streaming them doubled the traj VMEM/HBM cost for nothing)
+      cx, cy, aa = st[0], st[1], st[2]
       for i in range(n):
         tr_ref[t, i, 0] = cx[i]
         tr_ref[t, i, 1] = cy[i]
         tr_ref[t, i, 2] = aa[i]
-        tr_ref[t, i, 3] = vx[i]
-        tr_ref[t, i, 4] = vy[i]
-        tr_ref[t, i, 5] = om[i]
       return st
 
     st = jax.lax.fori_loop(0, T, step_body, state0)
@@ -705,7 +709,7 @@ def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
         jax.ShapeDtypeStruct(ins[9].shape, jnp.float32),   # j_state
         jax.ShapeDtypeStruct(ins[11].shape, jnp.float32),  # sleep_time
         jax.ShapeDtypeStruct(ins[12].shape, jnp.float32),  # prev_motor
-        jax.ShapeDtypeStruct((T, n, 6, B // LANE, LANE), jnp.float32),  # traj
+        jax.ShapeDtypeStruct((T, n, 3, B // LANE, LANE), jnp.float32),  # traj
     ]
     outs = pl.pallas_call(
         kernel,
@@ -727,12 +731,11 @@ def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
         sleep_time=_from_tiles(slp, B),
         prev_motor=_from_tiles(pm, B),
         ep_t=states.ep_t + T)
-    # traj tiles (T, n, 6, B/128, 128) -> (T, B, n, 6); 'tiles' exposes the
+    # traj tiles (T, n, 3, B/128, 128) -> (T, B, n, 3); 'tiles' exposes the
     # raw tile layout for consumers that avoid the transpose entirely
     # (render/traj_raster.py renders LCD frames straight from it)
-    traj = jnp.moveaxis(tr.reshape(T, n, 6, B), -1, 1)
+    traj = jnp.moveaxis(tr.reshape(T, n, 3, B), -1, 1)
     return new_states, {'c': traj[..., 0:2], 'a': traj[..., 2],
-                        'v': traj[..., 3:5], 'w': traj[..., 5],
                         'tiles': tr}
 
   return rollout
