@@ -8,7 +8,7 @@ Why: the bench/datagen obs pass was measured at ~37.5 ms per 50-step x 4096
 lane-axis transposes of every input, table gathers for circles, and the
 separate dispatch). This kernel removes the glue:
 
-- inputs are the megakernel's own (T, n, 6, B/128, 128) pose tiles
+- inputs are the megakernel's own (T, n, 3, B/128, 128) pose tiles
   (engine/mega.py `tr`), so there is NO transpose between physics and
   raster;
 - the PIL-exact float32 vertex transform (raster._poly_verts_px op order)
@@ -170,7 +170,7 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
     jax.lax.fori_loop(0, T, body, 0)
 
   def render_rows(tr):
-    """tr: (T, n, 6, B/128, 128) f32 megakernel pose tiles ->
+    """tr: (T, n, >=3, B/128, 128) f32 megakernel pose tiles ->
     (T, H, B/128, 128) uint32 PIL-order row bitmasks."""
     Tt, nn, six, G, L = tr.shape
     assert (Tt, nn, L) == (T, n, LANE) and six >= 3 and G % SUB == 0, \
