@@ -52,6 +52,21 @@ def evaluate(G, get_a):
 
 def main():
   G = parse()
+  ckpt = Path(G.logdir) / f'{G.algo}.pkl'
+  # rebuild the algo with the CHECKPOINT's config (reference pattern: loaders
+  # pop the smuggled G and reconstruct the model with it — evaler.py:34-41);
+  # otherwise net-shape flags like --hidden_size must be re-passed by hand and
+  # a mismatch makes flax.from_bytes fail
+  if ckpt.exists():
+    with open(ckpt, 'rb') as f:
+      saved = pickle.load(f).get('G', {})
+    cli = {k: G[k] for k in ('logdir', 'seed', 'test_deterministic', 'algo')}
+    merged = {**dict(G), **dict(saved), **cli}
+    # eval always runs on the REAL sim on this one chip
+    merged.update(lenv=0, mesh='', fused_rollout=0)
+    from boxlcd_tpu.utils import AttrDict
+    G = AttrDict(merged)
+    G.logdir = Path(G.logdir)
   # load the trained policy
   if G.algo == 'ppo':
     from research.rl.ppo import PPO
@@ -59,7 +74,6 @@ def main():
   else:
     from research.rl.sac import SAC
     algo = SAC(G)
-  ckpt = Path(G.logdir) / f'{G.algo}.pkl'
   if ckpt.exists():
     algo.load(G.logdir)
   else:
@@ -72,4 +86,16 @@ def main():
 
 
 if __name__ == '__main__':
-  main()
+  try:
+    main()
+  except BaseException:
+    # the headline chain pipes stdout+stderr through `tail -3`, which hides
+    # tracebacks until the whole retry loop exits — persist the error
+    import sys
+    import traceback
+    for a in sys.argv:
+      if a.startswith('--logdir='):
+        with open(Path(a.split('=', 1)[1]) / 'eval_error.log', 'a') as f:
+          f.write(traceback.format_exc() + '\n')
+        break
+    raise
