@@ -134,6 +134,19 @@ def make_mega_rollout_fn(env, pack_lcd=False, interpret=False, chunk=50):
     obs = jax.vmap(env.observe_pose)(
         ic.reshape(T * Bp, n), cs.reshape(T * Bp, n, 2),
         as_.reshape(T * Bp, n))
+    # Silent-corruption tripwire: the batched Pallas raster miscompiles at
+    # large grids on some runtimes (round-3: grids >= ~1856 programs return
+    # deterministic garbage with NO error, which poisoned a whole headline
+    # dataset). Re-render a spread of frames through the plain-XLA
+    # single-world path (bit-identical by test contract) and compare; the
+    # host raises before writing any barrel if they differ.
+    from boxlcd_tpu.render import raster as _raster
+    chk = np.linspace(0, T * Bp - 1, 16).astype(np.int64)
+    want = jax.vmap(lambda icc, cc, aa: _raster._lcd_render_single(
+        spec, icc, cc, aa, env.lcd_w, env.lcd_h))(
+            ic.reshape(T * Bp, n)[chk], cs.reshape(T * Bp, n, 2)[chk],
+            as_.reshape(T * Bp, n)[chk])
+    obs_ok = jnp.all(obs['lcd'][chk] == want)
     out = {}
     for k, v in obs.items():
       v = v.reshape(T, Bp, *v.shape[1:])
@@ -144,6 +157,7 @@ def make_mega_rollout_fn(env, pack_lcd=False, interpret=False, chunk=50):
              * bitw).sum(-1).astype(jnp.uint8)
     out['lcd'] = lcd
     out['action'] = jnp.swapaxes(acts, 0, 1)[:B]
+    out['obs_ok'] = obs_ok
     return out
 
   def batch_rollout(key, batch_size):
@@ -250,9 +264,16 @@ def fill_barrels(env, num_barrels, prefix, G, key, batch_size=None):
     # caller's process-level retry restarts with a clean session (resume
     # re-collects only the missing barrels, with a fold_in'd key).
     from boxlcd_tpu.utils import retry_transient
-    return retry_transient(
+    traj = retry_transient(
         lambda: jax.tree_util.tree_map(np.asarray, jfn(sub, batch_size)),
         label='collect chunk', attempts=2, sleep_s=10)
+    ok = traj.pop('obs_ok', None)
+    if ok is not None and not bool(ok):
+      raise RuntimeError(
+          'collect: device LCD render does not match the XLA reference '
+          'path — silent raster corruption (see pallas_raster.MAX_GRID); '
+          'refusing to write barrels')
+    return traj
 
   bi = 0
   while bi < num_barrels:

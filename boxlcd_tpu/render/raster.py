@@ -330,11 +330,18 @@ def _circle_bbox(cx, cy, r, s, dmax):
   return ix0, iy0, iw, ih
 
 
-def _circle_fill(tblbits, cx, cy, r, s, height: int, width: int):
-  """(H,) uint32 row bitmasks of PIL ellipse coverage (W<=32 fast path)."""
+def _circle_fill(tblbits, cx, cy, r, s, height: int, width: int, rows=None):
+  """(H,) uint32 row bitmasks of PIL ellipse coverage (W<=32 fast path).
+
+  rows: optional (H,) int32 row indices (default arange). The Pallas render
+  passes a REVERSED constant so slot i holds image row H-1-i — the vertical
+  flip then costs nothing at runtime (a sublane-axis reverse fused with the
+  bit unpack miscompiles at large batch on the real TPU; round-3 notes)."""
   dmax = tblbits.shape[0] - 1
   ix0, iy0, iw, ih = _circle_bbox(cx, cy, r, s, dmax)
-  di = jnp.arange(height, dtype=jnp.int32) - iy0                    # (H,)
+  if rows is None:
+    rows = jnp.arange(height, dtype=jnp.int32)
+  di = rows - iy0                                                   # (H,)
   ok = (di >= 0) & (di <= ih)
   rowbits = tblbits[ih, iw][jnp.clip(di, 0, dmax + 1)]              # (H,)
   # shift the mask (bit j = column ix0+j) into image columns

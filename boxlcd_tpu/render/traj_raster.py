@@ -22,9 +22,12 @@ separate dispatch). This kernel removes the glue:
   world tiles), so PIL bit-exactness (tests/test_raster.py) is preserved by
   construction.
 
-Output is (T, H, B/128, 128) uint32 row bitmasks in PIL row order (bit j =
-column j, bodies=1 bits). `rows_to_lcd` converts to the boolean obs frames
-(unpack + y-flip + invert — reference: boxLCD/world_env.py:506-509).
+Output is (T, H, B/128, 128) uint32 row bitmasks already in IMAGE row order
+with bits inverted in-kernel (background=1, matching the obs contract —
+reference: boxLCD/world_env.py:506-509). `rows_to_lcd` is then just the bit
+unpack; the y-flip is a constant row remap inside the kernel because a
+runtime sublane reverse fused with the unpack miscompiles at large batch
+(round-3 silent-corruption post-mortem in PROGRESS.md).
 
 cos/sin of body angles are computed OUTSIDE the kernel (XLA elementwise) so
 they are bit-identical to the jnp render path, which feeds the same
@@ -138,8 +141,14 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
   radius = {b: float(spec.radius[b]) for b in circ}
   combos = {b: _circle_combos(spec, b, s, dmax) for b in circ}
 
+  full = np.uint32(0xFFFFFFFF if width >= 32 else (1 << width) - 1)
+
   def kernel(cx_ref, cy_ref, ca_ref, sa_ref, out_ref):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
+    # flipped row space + in-kernel invert, same rationale as
+    # pallas_raster.kernel: a runtime [::-1] sublane reverse fused with the
+    # bit unpack miscompiles at large batch on the real chip (round-3)
+    rows = (jnp.int32(H - 1)
+            - jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0))
 
     def body(t, carry):
       mask = jnp.zeros((H, SUB, LANE), jnp.uint32)
@@ -164,7 +173,7 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
           ivy.append(jnp.trunc(wy * s32).astype(jnp.int32))
         mask = mask | raster._poly_fill(ivx, ivy, nv_list[b], H, width,
                                         rows=rows)
-      out_ref[t] = mask
+      out_ref[t] = mask ^ full
       return carry
 
     jax.lax.fori_loop(0, T, body, 0)
@@ -196,10 +205,13 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
 
 
 def rows_to_lcd(rows, width: int):
-  """(T, H, G, 128) uint32 row masks -> (T, B, H, W) bool obs frames
-  (unpack, y-flip, invert: background True — boxLCD/world_env.py:506-509)."""
+  """(T, H, G, 128) uint32 row masks -> (T, B, H, W) bool obs frames.
+
+  The kernel already emits rows in image order with bits inverted
+  (background True — boxLCD/world_env.py:506-509), so this is just the bit
+  unpack: no runtime y-reverse and no bool NOT (that composition
+  miscompiles at large batch on the real chip — round-3 notes)."""
   T, H, G, L = rows.shape
   r = jnp.moveaxis(rows.reshape(T, H, G * L), -1, 1)      # (T, B, H)
   bits = jnp.arange(width, dtype=jnp.uint32)
-  img = ((r[..., None] >> bits) & jnp.uint32(1)).astype(bool)
-  return ~img[:, :, ::-1]
+  return ((r[..., None] >> bits) & jnp.uint32(1)).astype(bool)

@@ -93,6 +93,8 @@ def test_mega_collect_layout_and_reset_obs():
   B = 8  # mega pads to BLOCK internally and slices back
   out_j = jax.tree_util.tree_map(np.asarray, fn_j(key, B))
   out_m = jax.tree_util.tree_map(np.asarray, fn_m(key, B))
+  # silent-corruption tripwire must be present and green (see collect.py)
+  assert bool(out_m.pop('obs_ok'))
   assert set(out_j) == set(out_m)
   for k in out_j:
     assert out_j[k].shape == out_m[k].shape, k

@@ -135,6 +135,28 @@ def test_pallas_raster_matches_xla(env_name):
   assert np.array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_pallas_raster_chunked_dispatch(monkeypatch):
+  """Batches above MAX_WORLDS split into several pallas dispatches (grids
+  past ~1800 programs silently miscompile on the real chip — round 3);
+  chunk boundaries must be seam-free and bit-identical to the XLA path."""
+  from boxlcd_tpu.render import pallas_raster
+  monkeypatch.setattr(pallas_raster, 'MAX_WORLDS', 256)
+  pallas_raster._CACHE.clear()
+  env = env_map['Urchin']({})
+  spec = env.spec
+  B = 600  # pads to 640 -> 3 chunks of 256/256/128 worlds
+  keys = jax.random.split(jax.random.PRNGKey(11), B)
+  states = jax.vmap(lambda k: Env.reset(env, k))(keys)
+  ref = jax.jit(jax.vmap(lambda ic, c, a: raster._lcd_render_single(
+      spec, ic, c, a, env.lcd_w, env.lcd_h)))(
+          states.is_circle, states.c, states.a)
+  got = pallas_raster.make_batched_render(
+      spec, env.lcd_w, env.lcd_h, interpret=True)(
+          states.is_circle, states.c, states.a)
+  pallas_raster._CACHE.clear()  # drop the small-chunk build
+  assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
 def _pil_scene_render(spec, is_circle, c, cossin, width, height):
   """Oracle: PIL draws with the same float32 pixel inputs our kernel uses.
 
