@@ -132,15 +132,27 @@ def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3):
   # axon tunnel (dispatch is async and block is a no-op — round-3 finding,
   # PROGRESS.md); np.asarray of a value data-dependent on the whole chunk is
   # the only honest barrier, so every timing below materializes the sum.
-  try:
+  def warmup():
+    nonlocal states
     states, s = jchunk(states, jax.random.PRNGKey(1))
     np.asarray(s)
+
+  try:
+    warmup()
   except Exception as e:
     if solver_kind == 'jnp':
       raise
-    print(f'{solver_kind} path failed ({type(e).__name__}); jnp fallback',
+    # transient tunnel faults at warmup must not demote the fast path to
+    # the ~15x-slower jnp fallback in a driver-captured run: retry first
+    print(f'{solver_kind} warmup failed ({type(e).__name__}); retrying',
           file=sys.stderr)
-    return measure(env_name, vel_iters, pos_iters, 'jnp', B, T, iters)
+    try:
+      from boxlcd_tpu.utils import retry_transient as _rt
+      _rt(warmup, label=f'{solver_kind} warmup', attempts=3, sleep_s=20)
+    except Exception as e2:
+      print(f'{solver_kind} path failed ({type(e2).__name__}); jnp fallback',
+            file=sys.stderr)
+      return measure(env_name, vel_iters, pos_iters, 'jnp', B, T, iters)
 
   from boxlcd_tpu.utils import retry_transient
   best = 0.0
