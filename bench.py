@@ -155,13 +155,24 @@ def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3):
       return measure(env_name, vel_iters, pos_iters, 'jnp', B, T, iters)
 
   from boxlcd_tpu.utils import retry_transient
+  # steady-state pipeline, exactly like collection: K chunks dispatched
+  # back-to-back (async dispatch; device executes the chain serially because
+  # each chunk consumes the previous chunk's states) with ONE host sync at
+  # the end. Per-chunk syncing would measure the ~20 ms relay round-trip
+  # latency K times, which the real workload pays only once per barrel.
+  # The final chunk's sum is data-dependent on every prior chunk's states,
+  # and each dispatched executable computes all its outputs unconditionally,
+  # so one np.asarray barriers the full K-chunk pipeline.
+  K = int(os.environ.get('BENCH_PIPELINE', 4))
   best = 0.0
   for i in range(iters):
     def timed(i=i):
       t0 = time.time()
-      _, s = jchunk(states, jax.random.PRNGKey(2 + i))
+      st, s = states, None
+      for k in range(K):
+        st, s = jchunk(st, jax.random.PRNGKey(2 + i * 131 + k))
       np.asarray(s)
-      return B * T / (time.time() - t0)
+      return K * B * T / (time.time() - t0)
     # the shared-tunnel backend occasionally fails one execution with a
     # transient INVALID_ARGUMENT; re-dispatch rather than lose the bench
     best = max(best, retry_transient(timed, label='bench iter', sleep_s=5))
@@ -170,8 +181,14 @@ def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3):
 
 def main():
   B = int(os.environ.get('BENCH_WORLDS', 4096))
-  T = int(os.environ.get('BENCH_STEPS', 50))
   env_name = os.environ.get('BENCH_ENV', 'Urchin')
+  # default chunk length = the env's episode length: that is exactly what
+  # mega-collect dispatches per pallas program during data collection (one
+  # episode per world per launch), so it is the honest hot-path unit.
+  # Dispatch overhead through the axon relay is ~20 ms/launch regardless of
+  # T, so shorter chunks understate and longer chunks overstate throughput.
+  T = int(os.environ.get('BENCH_STEPS', 0)) or \
+      int(boxlcd_tpu.env_map[env_name]({}).G.ep_len)
   ref_iters = os.environ.get('BENCH_ITERS', '') == 'ref'
   vel, pos = (180, 60) if ref_iters else (8, 4)
   solver_kind = os.environ.get('BENCH_SOLVER', 'auto')  # auto|mega|jnp|sub

@@ -75,15 +75,17 @@ def make_rollout_fn(env, policy_fn=None, pack_lcd=False):
   return batch_rollout, T
 
 
-def make_mega_rollout_fn(env, pack_lcd=False, interpret=False, chunk=50):
+def make_mega_rollout_fn(env, pack_lcd=False, interpret=False, chunk=None):
   """Megakernel-backed random-policy collection (engine/mega.py): all
-  physics for a chunk of steps runs as ONE Pallas program, then obs/raster
-  packs the whole (T, B) trajectory in one vectorized pass. ~100x fewer
-  kernel launches than the per-step scan (the measured datagen bottleneck
-  on this stack — PROGRESS.md round 3). Chunked so the per-program traj
-  output stays within VMEM. Same (o_t, a_t) barrel layout as
+  physics for an episode runs as ONE Pallas program (traj poses + motor
+  speeds stream via per-step DMA, so VMEM no longer caps the chunk length),
+  then render/traj_raster.py rasterizes exact LCD frames straight from the
+  pose tiles. ~100x fewer kernel launches than the per-step scan (the
+  measured datagen bottleneck on this stack — PROGRESS.md round 3); the
+  SAME path bench.py times. Same (o_t, a_t) barrel layout as
   make_rollout_fn."""
   from boxlcd_tpu.engine import mega
+  from boxlcd_tpu.render import traj_raster
   spec = env.spec
   T = int(env.G.ep_len)
   act_size = env.act_size
@@ -93,6 +95,7 @@ def make_mega_rollout_fn(env, pack_lcd=False, interpret=False, chunk=50):
   has_act = jnp.asarray(spec.j_act >= 0)
   a_idx = np.maximum(spec.j_act, 0)
   j_speed = jnp.asarray(spec.j_speed)
+  chunk = int(chunk or T)
   sizes = []
   s = 0
   while s < T:
@@ -100,6 +103,17 @@ def make_mega_rollout_fn(env, pack_lcd=False, interpret=False, chunk=50):
     s += chunk
   rollouts = {c: mega.make_rollout(spec, c, interpret=interpret)
               for c in set(sizes)}
+  # exact LCD frames straight from the megakernel pose tiles (no transpose
+  # / per-body packing glue); bit-equality vs the XLA path is asserted by
+  # tests/test_traj_raster.py AND re-checked in-graph by the tripwire below
+  use_tr = (traj_raster.supports(spec) and env.lcd_w <= 32
+            and str(env.G.get('raster', 'exact')) == 'exact')
+  if use_tr:
+    trenders = {c: traj_raster.make_traj_render(
+        spec, env.lcd_w, env.lcd_h, c, interpret=interpret)
+        for c in set(sizes)}
+    trender1 = traj_raster.make_traj_render(
+        spec, env.lcd_w, env.lcd_h, 1, interpret=interpret)
 
   def rollout_keys(keys):
     B = keys.shape[0]
@@ -121,19 +135,37 @@ def make_mega_rollout_fn(env, pack_lcd=False, interpret=False, chunk=50):
     # 0..T-2 (the final action in a barrel is meaningless — data.py:50-77)
     cs = [states.c[None]]
     as_ = [states.a[None]]
+    tiles = []
     st = states
     off = 0
     for c in sizes:
       st, traj = rollouts[c](st, ms[off:off + c])
       cs.append(traj['c'])
       as_.append(traj['a'])
+      if use_tr:
+        tiles.append(traj['tiles'])
       off += c
     cs = jnp.concatenate(cs)[:T]                       # (T, Bp, n, 2)
     as_ = jnp.concatenate(as_)[:T]                     # (T, Bp, n)
     ic = jnp.broadcast_to(states.is_circle[None], (T, Bp, n))
-    obs = jax.vmap(env.observe_pose)(
-        ic.reshape(T * Bp, n), cs.reshape(T * Bp, n, 2),
-        as_.reshape(T * Bp, n))
+    if use_tr:
+      # o_t = pose BEFORE action t: render the reset pose as a 1-step tile,
+      # then the post-step poses 0..T-2 from the megakernel's own stream
+      c0 = mega._to_tiles(states.c, Bp)                # (n, 2, G, L)
+      a0 = mega._to_tiles(states.a, Bp)                # (n, G, L)
+      tile0 = jnp.concatenate([c0, a0[:, None]], axis=1)[None]
+      rows = jnp.concatenate(
+          [trender1(tile0)] + [trenders[c](tl) for c, tl in
+                               zip(sizes, tiles)])[:T]  # (T, H, G, L)
+      lcd_tb = traj_raster.rows_to_lcd(rows, env.lcd_w)  # (T, Bp, H, W)
+      obs = jax.vmap(lambda i, c, a: env.observe_pose(i, c, a, lcd=False))(
+          ic.reshape(T * Bp, n), cs.reshape(T * Bp, n, 2),
+          as_.reshape(T * Bp, n))
+      obs = dict(obs, lcd=lcd_tb.reshape(T * Bp, env.lcd_h, env.lcd_w))
+    else:
+      obs = jax.vmap(env.observe_pose)(
+          ic.reshape(T * Bp, n), cs.reshape(T * Bp, n, 2),
+          as_.reshape(T * Bp, n))
     # Silent-corruption tripwire: the batched Pallas raster miscompiles at
     # large grids on some runtimes (round-3: grids >= ~1856 programs return
     # deterministic garbage with NO error, which poisoned a whole headline

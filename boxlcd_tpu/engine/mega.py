@@ -57,6 +57,50 @@ def supports(spec: WorldSpec) -> bool:
           and all(int(s) in (CIRCLE, POLY) for s in spec.shape_static))
 
 
+# ---- build-time constant folding for wall math ----------------------------
+# Wall normals/tangents are Python-float constants, and for the env zoo they
+# are axis-aligned (components 0/±1) — but XLA/Mosaic cannot fold x*0.0 or
+# x+0.0*y (NaN/-0.0 semantics), so the generic expressions emitted roughly 2x
+# the contact-solve ops and stretched the Gauss-Seidel dependency chains. The
+# helpers below drop zero terms and strength-reduce ±1 multiplies at TRACE
+# time. Numerically this only changes the sign of exact zeros (x + 0.0*y ==
+# x except -0.0+0.0; x*1.0 == x; 0.0-x == -x except x=+0.0), which is far
+# below the engine's pybox2d-parity tolerance and cannot flip any magnitude.
+
+def _cmul(c, x):
+  """c * x for Python-float c; None encodes an exactly-dropped zero term."""
+  if c == 0.0:
+    return None
+  if c == 1.0:
+    return x
+  if c == -1.0:
+    return -x
+  return c * x
+
+
+def _cadd2(a, b):
+  """a + b where either side may be a dropped (None) term."""
+  if a is None:
+    return b
+  if b is None:
+    return a
+  return a + b
+
+
+def _csub2(a, b):
+  """a - b where either side may be a dropped (None) term."""
+  if a is None:
+    return None if b is None else -b
+  if b is None:
+    return a
+  return a - b
+
+
+def _csubc(x, c):
+  """x - c for Python-float c, dropping the op when c is exactly 0."""
+  return x if c == 0.0 else x - c
+
+
 def _to_tiles(x, B):
   """(B, *S) -> (*S, B/128, 128)."""
   s = x.shape[1:]
@@ -139,7 +183,11 @@ def _build_kernel(spec: WorldSpec, T: int):
   def kernel(c_ref, a_ref, v_ref, w_ref, wci_ref, wcid_ref, ji_ref, jm_ref,
              jl_ref, js_ref, jref_ref, slp_ref, pm_ref, ms_ref,
              c_out, a_out, v_out, w_out, wci_out, wcid_out, ji_out, jm_out,
-             jl_out, js_out, slp_out, pm_out, tr_ref):
+             jl_out, js_out, slp_out, pm_out, tr_ref, tr_buf, tr_sem,
+             ms_buf, ms_sem):
+    # program_id must be read OUTSIDE lax loop bodies: the interpret-mode
+    # evaluator only substitutes it at kernel top level
+    g = pl.program_id(0)
     # ---- load state into flat tile tuples --------------------------------
     state0 = (
         tuple(c_ref[i, 0] for i in range(n)),       # cx
@@ -200,9 +248,11 @@ def _build_kernel(spec: WorldSpec, T: int):
           nx, ny = wall_n[wi]
           off = wall_off[wi]
           if is_circ[i]:
-            sep_c = nx * cx[i] + ny * cy[i] - off - radius[i] - POLY_RADIUS
-            ptx = cx[i] - radius[i] * nx
-            pty = cy[i] - radius[i] * ny
+            sep_c = _csubc(_csubc(_csubc(
+                _cadd2(_cmul(nx, cx[i]), _cmul(ny, cy[i])), off),
+                radius[i]), POLY_RADIUS)
+            ptx = _csubc(cx[i], radius[i] * nx)
+            pty = _csubc(cy[i], radius[i] * ny)
             z = jnp.zeros_like(sep_c)
             vals = [(sep_c, ptx, pty, z), (jnp.full_like(sep_c, BIG), ptx,
                                            pty, z)]
@@ -218,8 +268,9 @@ def _build_kernel(spec: WorldSpec, T: int):
               m_lpy[s] = z
           else:
             nv = nverts[i]
-            seps = [nx * wvx[i][v] + ny * wvy[i][v] - off - 2 * POLY_RADIUS
-                    for v in range(nv)]
+            seps = [_csubc(_csubc(
+                _cadd2(_cmul(nx, wvx[i][v]), _cmul(ny, wvy[i][v])), off),
+                2 * POLY_RADIUS) for v in range(nv)]
             # stable top-2 (matches jnp.argsort tie behavior: first wins)
             s1 = seps[0]
             i1 = jnp.zeros_like(s1)
@@ -303,9 +354,9 @@ def _build_kernel(spec: WorldSpec, T: int):
             rBx = m_ptx[s] - cx[i]
             rBy = m_pty[s] - cy[i]
             w_rBx[s], w_rBy[s] = rBx, rBy
-            rn[k] = rBx * ny - rBy * nx
+            rn[k] = _csub2(_cmul(ny, rBx), _cmul(nx, rBy))
             kn[k] = im + ii * rn[k] * rn[k]
-            rt = rBx * ty - rBy * tx
+            rt = _csub2(_cmul(ty, rBx), _cmul(tx, rBy))
             kt[k] = im + ii * rt * rt
           k12 = im + ii * rn[0] * rn[1]
           det = kn[0] * kn[1] - k12 * k12
@@ -325,8 +376,9 @@ def _build_kernel(spec: WorldSpec, T: int):
             w_k[s] = kn[k]
             w_nm[s] = jnp.where(vtch[k], 1.0 / jnp.maximum(kn[k], 1e-12), 0.0)
             w_tm[s] = jnp.where(vtch[k], 1.0 / jnp.maximum(kt[k], 1e-12), 0.0)
-            vn0 = ((vx[i] - om[i] * w_rBy[s]) * nx
-                   + (vy[i] + om[i] * w_rBx[s]) * ny)
+            vn0 = _cadd2(
+                None if nx == 0.0 else _cmul(nx, vx[i] - om[i] * w_rBy[s]),
+                None if ny == 0.0 else _cmul(ny, vy[i] + om[i] * w_rBx[s]))
             w_bias[s] = jnp.where(vn0 < -VELOCITY_THRESHOLD,
                                   -rest[i] * vn0, 0.0)
 
@@ -362,8 +414,8 @@ def _build_kernel(spec: WorldSpec, T: int):
           tx, ty = ny, -nx
           for k in range(2):
             s = wslot(i, wi, k)
-            Px = wcn[s] * nx + wct[s] * tx
-            Py = wcn[s] * ny + wct[s] * ty
+            Px = _cadd2(_cmul(nx, wcn[s]), _cmul(tx, wct[s]))
+            Py = _cadd2(_cmul(ny, wcn[s]), _cmul(ty, wct[s]))
             vx[i] = vx[i] + im * Px
             vy[i] = vy[i] + im * Py
             om[i] = om[i] + ii * (w_rBx[s] * Py - w_rBy[s] * Px)
@@ -427,37 +479,47 @@ def _build_kernel(spec: WorldSpec, T: int):
             im, ii = inv_m[i], inv_i[i]
             for k in range(2):
               s = wslot(i, wi, k)
-              dvx = vx[i] - om[i] * w_rBy[s]
-              dvy = vy[i] + om[i] * w_rBx[s]
-              vt = dvx * tx + dvy * ty
+              vt = _cadd2(
+                  None if tx == 0.0 else _cmul(tx, vx[i] - om[i] * w_rBy[s]),
+                  None if ty == 0.0 else _cmul(ty, vy[i] + om[i] * w_rBx[s]))
               lam = -w_tm[s] * vt
               maxf = mu[i] * wcn[s]
               new = jnp.clip(wct[s] + lam, -maxf, maxf)
               d = new - wct[s]
               wct[s] = new
-              vx[i] = vx[i] + im * d * tx
-              vy[i] = vy[i] + im * d * ty
-              om[i] = om[i] + ii * (w_rBx[s] * d * ty - w_rBy[s] * d * tx)
+              if tx != 0.0:
+                vx[i] = vx[i] + _cmul(tx, im * d)
+              if ty != 0.0:
+                vy[i] = vy[i] + _cmul(ty, im * d)
+              om[i] = om[i] + ii * _csub2(_cmul(ty, w_rBx[s] * d),
+                                          _cmul(tx, w_rBy[s] * d))
             s1, s2 = wslot(i, wi, 0), wslot(i, wi, 1)
             a1, a2 = wcn[s1], wcn[s2]
             # sequential candidate
             vxs, vys, oms = vx[i], vy[i], om[i]
             d_seq = []
             for k, s in enumerate((s1, s2)):
-              vn = ((vxs - oms * w_rBy[s]) * nx + (vys + oms * w_rBx[s]) * ny)
+              vn = _cadd2(
+                  None if nx == 0.0 else _cmul(nx, vxs - oms * w_rBy[s]),
+                  None if ny == 0.0 else _cmul(ny, vys + oms * w_rBx[s]))
               lam = -w_nm[s] * (vn - w_bias[s])
               acc = (a1, a2)[k]
               new = jnp.maximum(acc + lam, 0.0)
               dk = new - acc
               d_seq.append(dk)
-              vxs = vxs + im * dk * nx
-              vys = vys + im * dk * ny
-              oms = oms + ii * (w_rBx[s] * dk * ny - w_rBy[s] * dk * nx)
+              if nx != 0.0:
+                vxs = vxs + _cmul(nx, im * dk)
+              if ny != 0.0:
+                vys = vys + _cmul(ny, im * dk)
+              oms = oms + ii * _csub2(_cmul(ny, w_rBx[s] * dk),
+                                      _cmul(nx, w_rBy[s] * dk))
             # block candidate
-            vn1 = ((vx[i] - om[i] * w_rBy[s1]) * nx
-                   + (vy[i] + om[i] * w_rBx[s1]) * ny)
-            vn2 = ((vx[i] - om[i] * w_rBy[s2]) * nx
-                   + (vy[i] + om[i] * w_rBx[s2]) * ny)
+            vn1 = _cadd2(
+                None if nx == 0.0 else _cmul(nx, vx[i] - om[i] * w_rBy[s1]),
+                None if ny == 0.0 else _cmul(ny, vy[i] + om[i] * w_rBx[s1]))
+            vn2 = _cadd2(
+                None if nx == 0.0 else _cmul(nx, vx[i] - om[i] * w_rBy[s2]),
+                None if ny == 0.0 else _cmul(ny, vy[i] + om[i] * w_rBx[s2]))
             d1b, d2b = _block_lcp(
                 vn1 - w_bias[s1], vn2 - w_bias[s2], a1, a2,
                 w_k[s1], w_k[s2], w_k12[i * nw + wi],
@@ -465,10 +527,13 @@ def _build_kernel(spec: WorldSpec, T: int):
             blk = w_blk[i * nw + wi]
             d1 = jnp.where(blk, d1b, d_seq[0])
             d2 = jnp.where(blk, d2b, d_seq[1])
-            vx[i] = vx[i] + im * (d1 + d2) * nx
-            vy[i] = vy[i] + im * (d1 + d2) * ny
-            om[i] = om[i] + ii * ((w_rBx[s1] * ny - w_rBy[s1] * nx) * d1
-                                  + (w_rBx[s2] * ny - w_rBy[s2] * nx) * d2)
+            if nx != 0.0:
+              vx[i] = vx[i] + _cmul(nx, im * (d1 + d2))
+            if ny != 0.0:
+              vy[i] = vy[i] + _cmul(ny, im * (d1 + d2))
+            om[i] = om[i] + ii * (
+                _csub2(_cmul(ny, w_rBx[s1]), _cmul(nx, w_rBy[s1])) * d1
+                + _csub2(_cmul(ny, w_rBx[s2]), _cmul(nx, w_rBy[s2])) * d2)
             wcn[s1] = a1 + d1
             wcn[s2] = a2 + d2
         return tuple(tuple(x) for x in
@@ -509,16 +574,20 @@ def _build_kernel(spec: WorldSpec, T: int):
             s = wslot(i, wi, k)
             ptx = cx[i] + ca_ * m_lpx[s] - sa_ * m_lpy[s]
             pty = cy[i] + sa_ * m_lpx[s] + ca_ * m_lpy[s]
-            sep = ptx * nx + pty * ny - off - rad_sub[i][wi]
+            sep = _csubc(_csubc(
+                _cadd2(_cmul(nx, ptx), _cmul(ny, pty)), off),
+                rad_sub[i][wi])
             minsep = jnp.minimum(minsep, jnp.where(m_tch[s], sep, 0.0))
             C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP),
                          -MAX_LINEAR_CORRECTION, 0.0)
             rBx, rBy = ptx - cx[i], pty - cy[i]
-            crn = rBx * ny - rBy * nx
+            crn = _csub2(_cmul(ny, rBx), _cmul(nx, rBy))
             kn = im + ii * crn * crn
             imp = jnp.where(m_tch[s], -C / jnp.maximum(kn, 1e-12), 0.0)
-            cx[i] = cx[i] + im * imp * nx
-            cy[i] = cy[i] + im * imp * ny
+            if nx != 0.0:
+              cx[i] = cx[i] + _cmul(nx, im * imp)
+            if ny != 0.0:
+              cy[i] = cy[i] + _cmul(ny, im * imp)
             aa[i] = aa[i] + ii * crn * imp
         for jd in joints:
           j, pa, ch = jd['j'], jd['pa'], jd['ch']
@@ -612,7 +681,14 @@ def _build_kernel(spec: WorldSpec, T: int):
                     jlim, jstate, slp, pm))
 
     def step_body(t, st):
-      ms = [ms_ref[t, j] for j in range(jn_pad)]
+      # motor speeds live in HBM (ANY) like the traj output: a VMEM-blocked
+      # (T, ...) input put T*SUB under the 16M scoped-vmem cap. One tiny DMA
+      # (jn_pad tiles) per step.
+      cp_ms = pltpu.make_async_copy(
+          ms_ref.at[t, :, pl.ds(g * SUB, SUB), :], ms_buf, ms_sem)
+      cp_ms.start()
+      cp_ms.wait()
+      ms = [ms_buf[j] for j in range(jn_pad)]
       pm = st[15]
       motor_changed = [None] * jn_pad
       for j in range(jn_pad):
@@ -623,12 +699,19 @@ def _build_kernel(spec: WorldSpec, T: int):
                              lambda _, s: substep(s, ms, motor_changed), st)
       st = st[:15] + (tuple(ms),)
       # stream per-step poses for the obs pipeline (velocities are not
-      # observed — streaming them doubled the traj VMEM/HBM cost for nothing)
+      # observed — streaming them doubled the traj VMEM/HBM cost for nothing).
+      # The traj output lives in HBM (ANY space): holding a (T, ...) block in
+      # VMEM capped T and SUB at the 16M scoped-vmem limit, so each step DMAs
+      # one (n, 3, SUB, LANE) pose tile out of a small VMEM staging buffer.
       cx, cy, aa = st[0], st[1], st[2]
       for i in range(n):
-        tr_ref[t, i, 0] = cx[i]
-        tr_ref[t, i, 1] = cy[i]
-        tr_ref[t, i, 2] = aa[i]
+        tr_buf[i, 0] = cx[i]
+        tr_buf[i, 1] = cy[i]
+        tr_buf[i, 2] = aa[i]
+      cp = pltpu.make_async_copy(
+          tr_buf, tr_ref.at[t, :, :, pl.ds(g * SUB, SUB), :], tr_sem)
+      cp.start()
+      cp.wait()
       return st
 
     st = jax.lax.fori_loop(0, T, step_body, state0)
@@ -711,12 +794,28 @@ def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
         jax.ShapeDtypeStruct(ins[12].shape, jnp.float32),  # prev_motor
         jax.ShapeDtypeStruct((T, n, 3, B // LANE, LANE), jnp.float32),  # traj
     ]
+    # traj stays in HBM (ANY) and is filled by per-step DMA from a staging
+    # tile — a VMEM-resident (T, ...) block capped T*SUB at the 16M scoped
+    # limit (and SUB>8 is the cheapest throughput lever: taller tiles
+    # amortize Mosaic per-op issue overhead)
+    out_specs = [spec_for(jnp.zeros(o.shape, o.dtype))
+                 for o in out_shapes[:-1]]
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    # motor speeds (the only (T, ...) input) stay in HBM, DMA'd per step
+    in_specs = [spec_for(x) for x in ins[:-1]]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec_for(x) for x in ins],
-        out_specs=[spec_for(jnp.zeros(o.shape, o.dtype)) for o in out_shapes],
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((n, 3, SUB, LANE), jnp.float32),  # tr_buf staging
+            pltpu.SemaphoreType.DMA,                     # tr_sem
+            pltpu.VMEM((jn_pad, SUB, LANE), jnp.float32),  # ms_buf staging
+            pltpu.SemaphoreType.DMA,                       # ms_sem
+        ],
         interpret=interpret,
     )(*ins)
     (c, a, v, w, wci, wcid, ji, jm, jl, js, slp, pm, tr) = outs

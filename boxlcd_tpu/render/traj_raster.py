@@ -143,22 +143,25 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
 
   full = np.uint32(0xFFFFFFFF if width >= 32 else (1 << width) - 1)
 
-  def kernel(cx_ref, cy_ref, ca_ref, sa_ref, out_ref):
-    # flipped row space + in-kernel invert, same rationale as
-    # pallas_raster.kernel: a runtime [::-1] sublane reverse fused with the
-    # bit unpack miscompiles at large batch on the real chip (round-3)
-    rows = (jnp.int32(H - 1)
-            - jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0))
+  def make_kernel(sub):
+    def kernel(cx_ref, cy_ref, ca_ref, sa_ref, out_ref):
+      # flipped row space + in-kernel invert, same rationale as
+      # pallas_raster.kernel: a runtime [::-1] sublane reverse fused with the
+      # bit unpack miscompiles at large batch on the real chip (round-3)
+      rows = (jnp.int32(H - 1)
+              - jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0))
 
-    def body(t, carry):
-      mask = jnp.zeros((H, SUB, LANE), jnp.uint32)
+      # one step per grid iteration (T is a grid axis, not an in-kernel
+      # loop: whole-(T, ...) VMEM blocks capped T at ~50 under the 16M
+      # scoped limit; per-t blocks stream through double-buffered DMA)
+      mask = jnp.zeros((H, sub, LANE), jnp.uint32)
       for b in circ:
         mask = mask | _circle_fill_static(
-            tblbits_np, cx_ref[t, b], cy_ref[t, b], radius[b], s32,
+            tblbits_np, cx_ref[0, b], cy_ref[0, b], radius[b], s32,
             combos[b], rows, H, width)
       for b in poly:
-        ca, sa = ca_ref[t, b], sa_ref[t, b]
-        cx, cy = cx_ref[t, b], cy_ref[t, b]
+        ca, sa = ca_ref[0, b], sa_ref[0, b]
+        cx, cy = cx_ref[0, b], cy_ref[0, b]
         lc0, lc1 = lc[b]
         # b2Mul float32 op order (raster._poly_verts_px, products rounded
         # before the adds) so truncated pixel vertices match bitwise
@@ -173,28 +176,29 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
           ivy.append(jnp.trunc(wy * s32).astype(jnp.int32))
         mask = mask | raster._poly_fill(ivx, ivy, nv_list[b], H, width,
                                         rows=rows)
-      out_ref[t] = mask ^ full
-      return carry
-
-    jax.lax.fori_loop(0, T, body, 0)
+      out_ref[0] = mask ^ full
+    return kernel
 
   def render_rows(tr):
     """tr: (T, n, >=3, B/128, 128) f32 megakernel pose tiles ->
     (T, H, B/128, 128) uint32 PIL-order row bitmasks."""
     Tt, nn, six, G, L = tr.shape
-    assert (Tt, nn, L) == (T, n, LANE) and six >= 3 and G % SUB == 0, \
-        (tr.shape, T, n)
+    assert (Tt, nn, L) == (T, n, LANE) and six >= 3, (tr.shape, T, n)
     cx, cy, ang = tr[:, :, 0], tr[:, :, 1], tr[:, :, 2]   # (T, n, G, L)
     # XLA-side trig: bit-identical inputs to the jnp render path
     ca, sa = jnp.cos(ang), jnp.sin(ang)
 
-    blk = lambda: pl.BlockSpec((T, n, SUB, LANE), lambda g: (0, 0, g, 0),
+    # tallest tile that divides the world rows: per-grid-step overhead is
+    # ~1 us, so at (8, 128) tiles a T=100 x 32-row call pays 3200 of them
+    # (~4 ms) while one 32-row block per step pays 100
+    sub = next(s for s in (32, 16, 8, 4, 2, 1) if G % s == 0)
+    blk = lambda: pl.BlockSpec((1, n, sub, LANE), lambda g, t: (t, 0, g, 0),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        kernel,
-        grid=(G // SUB,),
+        make_kernel(sub),
+        grid=(G // sub, T),
         in_specs=[blk(), blk(), blk(), blk()],
-        out_specs=pl.BlockSpec((T, H, SUB, LANE), lambda g: (0, 0, g, 0),
+        out_specs=pl.BlockSpec((1, H, sub, LANE), lambda g, t: (t, 0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, H, G, LANE), jnp.uint32),
         interpret=interpret,
