@@ -76,6 +76,11 @@ class ArbiterAE(SingleStepAE):
   def sample_z(self, key, n):
     return jax.random.normal(key, (n, self.z_size))
 
+  def save(self, direc):
+    # reference semantics: saving the arbiter saves the trace (arbiter.py:26)
+    super().save(direc)
+    self.save_frozen(direc)
+
   def save_frozen(self, direc):
     """Save the frozen feature extractor (replaces torch.jit.trace at
     arbiter.py:26-31): params + module config, loaded via load_frozen()."""

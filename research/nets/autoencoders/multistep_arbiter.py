@@ -117,6 +117,13 @@ class MultiStepArbiter(MultiStepAE):
     _, _, action = self.module.apply(params, z, method='dec')
     return z, action
 
+  def save(self, direc):
+    # the reference's arbiter save IS the trace dump (arbiter.py:26-31,
+    # multistep_arbiter.py:26-44): every checkpoint must also refresh the
+    # frozen feature extractor the Trainer/Evaler load by glob
+    super().save(direc)
+    self.save_frozen(direc)
+
   def save_frozen(self, direc):
     direc = Path(direc)
     direc.mkdir(parents=True, exist_ok=True)
