@@ -7,7 +7,7 @@
 # Usage: model_table.sh "Urchin Luxo" /tmp/mtable [VIDEO_ITRS] [ENC_ITRS]
 # Runs on the real TPU. One JAX process at a time.
 set -euo pipefail
-ENVS=${1:-"Urchin Luxo"}
+ENVS=${1:-"Dropbox Bounce Urchin Luxo"}
 WORK=${2:-/tmp/mtable}
 VID=${3:-100000}
 ENC=${4:-30000}
@@ -16,27 +16,41 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 mkdir -p "$WORK"
 
+# Tunnel sessions can be transiently poisoned (PROGRESS.md round-3): every
+# phase is resume-aware, dies fast in-process, and is retried at the
+# process level with waits matched to the observed multi-minute bad periods.
+retry() {
+  local waits=(30 120 300 600 600 600)
+  for i in 0 1 2 3 4 5; do
+    "$@" && return 0
+    echo "=== phase failed (attempt $((i+1))); retrying in ${waits[$i]}s" >&2
+    sleep "${waits[$i]}"
+  done
+  return 1
+}
+
 for ENV in $ENVS; do
   D=$WORK/$ENV
   echo "=== [$ENV] collect"
-  [ -d $D/data/train ] || python -m research.main --mode=collect --env=$ENV \
+  [ -d $D/data/train ] && [ "$(ls $D/data/train | wc -l)" -ge 100 ] || \
+    retry python -m research.main --mode=collect --env=$ENV \
     --logdir=$D/data --train_barrels=100 --test_barrels=10 --num_envs=4000 \
     --barrel_format=native
 
   echo "=== [$ENV] arbiter"
-  [ -f $D/arbiter/MultiStepArbiter.pkl ] || python -m research.main \
+  [ -f $D/arbiter/MultiStepArbiter.pkl ] || retry python -m research.main \
     --mode=train --model=MultiStepArbiter --env=$ENV --datadir=$D/data \
     --logdir=$D/arbiter --total_itr=$ENC --bs=32 --window=10 \
     --log_n=5000 --device_dataset=1 --hidden_size=128 --nfilter=64
 
   echo "=== [$ENV] BVAE (FBT dependency)"
-  [ -f $D/bvae/BVAE.pkl ] || python -m research.main --mode=train \
+  [ -f $D/bvae/BVAE.pkl ] || retry python -m research.main --mode=train \
     --model=BVAE --env=$ENV --datadir=$D/data --logdir=$D/bvae \
     --total_itr=$ENC --bs=32 --window=5 --log_n=5000 --device_dataset=1 \
     --hidden_size=64 --vqK=64 --vqD=16 --nfilter=16
 
   echo "=== [$ENV] RNLDA (FRNLD dependency)"
-  [ -f $D/rnlda/RNLDA.pkl ] || python -m research.main --mode=train \
+  [ -f $D/rnlda/RNLDA.pkl ] || retry python -m research.main --mode=train \
     --model=RNLDA --env=$ENV --datadir=$D/data --logdir=$D/rnlda \
     --total_itr=$ENC --bs=32 --window=5 --log_n=5000 --device_dataset=1 \
     --hidden_size=64 --vqK=64 --vqD=8 --nfilter=16
@@ -49,11 +63,11 @@ for ENV in $ENVS; do
       FRNLD) FLAGS="--n_layer=4 --n_head=8 --n_embed=512 --hidden_size=512 --window=25 --weightdir=$WORK/$ENV/rnlda" ;;
     esac
     echo "=== [$ENV] train $M"
-    [ -f $D/$M/$M.pkl ] || python -m research.main --mode=train --model=$M \
+    [ -f $D/$M/$M.pkl ] || retry python -m research.main --mode=train --model=$M \
       --env=$ENV --datadir=$D/data --logdir=$D/$M --total_itr=$VID --bs=32 \
       --log_n=20000 --device_dataset=1 $FLAGS
     echo "=== [$ENV] eval $M"
-    [ -f $WORK/eval/$M/$ENV/logger.pkl ] || python -m research.main \
+    [ -f $WORK/eval/$M/$ENV/logger.pkl ] || retry python -m research.main \
       --mode=eval --model=$M --env=$ENV --datadir=$D/data \
       --weightdir=$D/$M --arbiterdir=$D/arbiter \
       --logdir=$WORK/eval/$M/$ENV --bs=32
