@@ -38,7 +38,7 @@ for SETTING in "8 4" "180 60"; do
   [ -f $D/arbiter/MultiStepArbiter.pkl ] || retry python -m research.main \
     --mode=train --model=MultiStepArbiter --env=$ENV $ITERS \
     --datadir=$D/data --logdir=$D/arbiter --total_itr=30000 --bs=32 \
-    --window=10 --log_n=5000 --device_dataset=1 --hidden_size=128 \
+    --window=5 --log_n=5000 --device_dataset=1 --hidden_size=256 \
     --nfilter=64
 
   echo "=== [$ENV $VI/$PI] BVAE"
@@ -50,13 +50,13 @@ for SETTING in "8 4" "180 60"; do
   echo "=== [$ENV $VI/$PI] FBT"
   [ -f $D/fbt/FBT.pkl ] || retry python -m research.main --mode=train \
     --model=FBT --env=$ENV $ITERS --datadir=$D/data --weightdir=$D/bvae \
-    --logdir=$D/fbt --total_itr=100000 --bs=32 --window=25 --n_embed=512 \
-    --n_head=8 --n_layer=4 --log_n=20000 --device_dataset=1
+    --logdir=$D/fbt --total_itr=100000 --bs=32 --window=50 --prompt_n=3 \
+    --n_embed=512 --n_head=8 --n_layer=4 --log_n=20000 --device_dataset=1
 
   echo "=== [$ENV $VI/$PI] eval"
   [ -f $D/eval/logger.pkl ] || retry python -m research.main --mode=eval \
     --model=FBT --env=$ENV $ITERS --datadir=$D/data --weightdir=$D/fbt \
-    --arbiterdir=$D/arbiter --logdir=$D/eval --bs=32
+    --arbiterdir=$D/arbiter --logdir=$D/eval --bs=32 --window=50 --prompt_n=3
 done
 
 echo "=== A/B results"

@@ -31,6 +31,13 @@ retry() {
 
 for ENV in $ENVS; do
   D=$WORK/$ENV
+  # reference per-env video window/prompt (kicker.py:46-49: ENV_WINDOW
+  # defaults to 50 with Dropbox=25; ENV_PROMPT defaults to 3 with Dropbox=1;
+  # kicker's --prompt abbreviates argparse's --prompt_n)
+  case $ENV in
+    Dropbox) WIN=25; PRM=1 ;;
+    *)       WIN=50; PRM=3 ;;
+  esac
   echo "=== [$ENV] collect"
   [ -d $D/data/train ] && [ "$(ls $D/data/train | wc -l)" -ge 100 ] || \
     retry python -m research.main --mode=collect --env=$ENV \
@@ -38,10 +45,12 @@ for ENV in $ENVS; do
     --barrel_format=native
 
   echo "=== [$ENV] arbiter"
+  # reference arbiter preset (kicker.py:137: --nfilter=64 --hidden_size=256
+  # --window=5)
   [ -f $D/arbiter/MultiStepArbiter.pkl ] || retry python -m research.main \
     --mode=train --model=MultiStepArbiter --env=$ENV --datadir=$D/data \
-    --logdir=$D/arbiter --total_itr=$ENC --bs=32 --window=10 \
-    --log_n=5000 --device_dataset=1 --hidden_size=128 --nfilter=64
+    --logdir=$D/arbiter --total_itr=$ENC --bs=32 --window=5 \
+    --log_n=5000 --device_dataset=1 --hidden_size=256 --nfilter=64
 
   echo "=== [$ENV] BVAE (FBT dependency)"
   [ -f $D/bvae/BVAE.pkl ] || retry python -m research.main --mode=train \
@@ -56,21 +65,23 @@ for ENV in $ENVS; do
     --hidden_size=64 --vqK=64 --vqD=8 --nfilter=16
 
   for M in RSSM FIT FBT FRNLD; do
+    # model presets from kicker.py:57-79; window/prompt_n are the per-env
+    # reference values (ENV_WINDOW/ENV_PROMPT above)
     case $M in
-      RSSM) FLAGS="--nfilter=64 --hidden_size=300 --free_nats=0.01 --window=10" ;;
-      FIT)  FLAGS="--n_layer=2 --n_head=4 --n_embed=256 --hidden_size=256 --window=10" ;;
-      FBT)  FLAGS="--n_layer=4 --n_head=8 --n_embed=512 --hidden_size=512 --window=25 --weightdir=$WORK/$ENV/bvae" ;;
-      FRNLD) FLAGS="--n_layer=4 --n_head=8 --n_embed=512 --hidden_size=512 --window=25 --weightdir=$WORK/$ENV/rnlda" ;;
+      RSSM) FLAGS="--nfilter=64 --hidden_size=300 --free_nats=0.01" ;;
+      FIT)  FLAGS="--n_layer=2 --n_head=4 --n_embed=256 --hidden_size=256" ;;
+      FBT)  FLAGS="--n_layer=4 --n_head=8 --n_embed=512 --hidden_size=512 --weightdir=$WORK/$ENV/bvae" ;;
+      FRNLD) FLAGS="--n_layer=4 --n_head=8 --n_embed=512 --hidden_size=512 --weightdir=$WORK/$ENV/rnlda" ;;
     esac
     echo "=== [$ENV] train $M"
     [ -f $D/$M/$M.pkl ] || retry python -m research.main --mode=train --model=$M \
       --env=$ENV --datadir=$D/data --logdir=$D/$M --total_itr=$VID --bs=32 \
-      --log_n=20000 --device_dataset=1 $FLAGS
+      --window=$WIN --prompt_n=$PRM --log_n=20000 --device_dataset=1 $FLAGS
     echo "=== [$ENV] eval $M"
     [ -f $WORK/eval/$M/$ENV/logger.pkl ] || retry python -m research.main \
       --mode=eval --model=$M --env=$ENV --datadir=$D/data \
       --weightdir=$D/$M --arbiterdir=$D/arbiter \
-      --logdir=$WORK/eval/$M/$ENV --bs=32
+      --logdir=$WORK/eval/$M/$ENV --bs=32 --window=$WIN --prompt_n=$PRM
   done
 done
 
