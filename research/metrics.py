@@ -77,14 +77,26 @@ def precision_recall_f1(real_feats, fake_feats, k=3):
   A fake sample counts as precise if it lies within the k-NN radius of some
   real sample (and vice versa for recall).
   """
+  # Pairwise distances via the |a|^2 + |b|^2 - 2ab^T identity: the naive
+  # broadcast x[:, None] - x[None] materializes an (N, N, D) tensor — at
+  # N=5000, D=256 that is 25.6 GB and OOMs a 16G-HBM chip; the matmul form
+  # peaks at the (N, N) matrix (100 MB) and runs on the MXU.
+  def pdist2(a, b):
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    d2 = ((a * a).sum(-1)[:, None] + (b * b).sum(-1)[None]
+          - 2.0 * (a @ b.T))
+    return jnp.maximum(d2, 0.0)
+
   def knn_radius(x, k):
-    d = jnp.linalg.norm(x[:, None] - x[None], axis=-1)
-    d = jnp.sort(d, axis=1)
-    return d[:, k]  # distance to k-th neighbor (0th is self)
+    d2 = pdist2(x, x)
+    # k+1 smallest (0th is self) without a full N-wide sort
+    neg_small = jax.lax.top_k(-d2, k + 1)[0]
+    return jnp.sqrt(-neg_small[:, k])  # distance to k-th neighbor
 
   def coverage(points, manifold, radii):
-    d = jnp.linalg.norm(points[:, None] - manifold[None], axis=-1)
-    return (d <= radii[None]).any(1).astype(jnp.float32).mean()
+    d2 = pdist2(points, manifold)
+    return (d2 <= radii[None] ** 2).any(1).astype(jnp.float32).mean()
 
   r_real = knn_radius(real_feats, k)
   r_fake = knn_radius(fake_feats, k)

@@ -59,11 +59,16 @@ class Evaler:
     almse = None
     if actions is not None and act_pred is not None:
       act = chop(actions, aw)[:, :-1]
-      almse = float(jnp.log(((act - act_pred) ** 2).mean()))
+      almse = jnp.log(((act - act_pred) ** 2).mean())
     return z, almse
 
   def unprompted(self, batch, key):
-    """Reference evaler.py:147-161: sample w/ random actions, burn, encode."""
+    """Reference evaler.py:147-161: sample w/ random actions, burn, encode.
+
+    Pure jnp (traceable): the whole per-batch pipeline runs as ONE jitted
+    dispatch — eager per-op dispatch over the axon tunnel (~20-30 ms RTT
+    each) made a single eval rep cost ~13 min.
+    """
     n = batch['lcd'].shape[0]
     T = self.model.block_size
     pn = self.G.prompt_n
@@ -78,7 +83,7 @@ class Evaler:
     return paz, m
 
   def prompted(self, batch, key):
-    """Reference evaler.py:163-198."""
+    """Reference evaler.py:163-198. Pure jnp (traceable)."""
     n = batch['lcd'].shape[0]
     pn = self.G.prompt_n
     prompts = {k: v for k, v in batch.items() if k != 'action'}
@@ -87,12 +92,12 @@ class Evaler:
     metrics = {}
     lcd_t = batch['lcd']
     lcd_p = sample['lcd'].reshape(lcd_t.shape)
-    metrics['ssim'] = float(M.ssim(lcd_p[:, pn:], lcd_t[:, pn:]))
-    metrics['psnr'] = float(M.psnr(lcd_p[:, pn:], lcd_t[:, pn:]))
+    metrics['ssim'] = M.ssim(lcd_p[:, pn:], lcd_t[:, pn:])
+    metrics['psnr'] = M.psnr(lcd_p[:, pn:], lcd_t[:, pn:])
     pt, pp = batch['proprio'], sample['proprio']
     if getattr(self.env, 'pobs_size', 1):  # passive envs have no proprio
-      metrics['proprio_log_mse'] = float(
-          jnp.log(((pt[:, pn:] - pp[:, pn:]) ** 2).mean()))
+      metrics['proprio_log_mse'] = jnp.log(
+          ((pt[:, pn:] - pp[:, pn:]) ** 2).mean())
     paz, almse = self._feats({'lcd': lcd_p[:, pn:], 'proprio': pp[:, pn:]},
                              batch['action'][:, pn:])
     taz, talmse = self._feats({'lcd': lcd_t[:, pn:], 'proprio': pt[:, pn:]},
@@ -103,8 +108,28 @@ class Evaler:
     if paz is not None:
       cos = (paz * taz).sum(-1) / (jnp.linalg.norm(paz, axis=-1)
                                    * jnp.linalg.norm(taz, axis=-1) + 1e-8)
-      metrics['cosdist'] = float((1 - cos).mean())
+      metrics['cosdist'] = (1 - cos).mean()
     return paz, taz, metrics
+
+  def _batch_step(self, batch, k1, k2):
+    upaz, um = self.unprompted(batch, k1)
+    paz, taz, pm = self.prompted(batch, k2)
+    return upaz, um, paz, taz, pm
+
+  def _run_batch(self, batch, k1, k2):
+    """One jitted dispatch per batch; falls back to eager if a model's
+    sample path turns out not to be traceable."""
+    if not hasattr(self, '_jit_step'):
+      self._jit_step = jax.jit(self._batch_step)
+      self._jit_ok = True
+    if self._jit_ok:
+      try:
+        return self._jit_step(batch, k1, k2)
+      except Exception as e:  # pragma: no cover - defensive fallback
+        print(f'evaler: jit step failed ({type(e).__name__}: {e}); '
+              'falling back to eager')
+        self._jit_ok = False
+    return self._batch_step(batch, k1, k2)
 
   def do_ds(self, ds, key):
     logger = defaultdict(list)
@@ -114,12 +139,11 @@ class Evaler:
     while seen < self.N:
       batch = self._window(next(it))
       key, k1, k2 = jax.random.split(key, 3)
-      upaz, um = self.unprompted(batch, k1)
+      upaz, um, paz, taz, pm = self._run_batch(batch, k1, k2)
       for k, v in um.items():
-        logger['u:' + k].append(v)
-      paz, taz, pm = self.prompted(batch, k2)
+        logger['u:' + k].append(float(v))
       for k, v in pm.items():
-        logger['p:' + k].append(v)
+        logger['p:' + k].append(float(v))
       if paz is not None:
         all_upaz.append(np.asarray(upaz))
         all_paz.append(np.asarray(paz))

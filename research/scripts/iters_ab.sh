@@ -56,7 +56,7 @@ for SETTING in "8 4" "180 60"; do
   echo "=== [$ENV $VI/$PI] eval"
   [ -f $D/eval/logger.pkl ] || retry python -m research.main --mode=eval \
     --model=FBT --env=$ENV $ITERS --datadir=$D/data --weightdir=$D/fbt \
-    --arbiterdir=$D/arbiter --logdir=$D/eval --bs=32 --window=50 --prompt_n=3
+    --arbiterdir=$D/arbiter --logdir=$D/eval --bs=256 --window=50 --prompt_n=3
 done
 
 echo "=== A/B results"

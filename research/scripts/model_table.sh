@@ -78,10 +78,13 @@ for ENV in $ENVS; do
       --env=$ENV --datadir=$D/data --logdir=$D/$M --total_itr=$VID --bs=32 \
       --window=$WIN --prompt_n=$PRM --log_n=20000 --device_dataset=1 $FLAGS
     echo "=== [$ENV] eval $M"
+    # eval bs=256: the Evaler pools a fixed eval_n samples, so batch size
+    # only changes dispatch granularity, not the estimator; big batches
+    # amortize the axon tunnel round-trip (the jitted per-batch eval step)
     [ -f $WORK/eval/$M/$ENV/logger.pkl ] || retry python -m research.main \
       --mode=eval --model=$M --env=$ENV --datadir=$D/data \
       --weightdir=$D/$M --arbiterdir=$D/arbiter \
-      --logdir=$WORK/eval/$M/$ENV --bs=32 --window=$WIN --prompt_n=$PRM
+      --logdir=$WORK/eval/$M/$ENV --bs=256 --window=$WIN --prompt_n=$PRM
   done
 done
 

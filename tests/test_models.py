@@ -120,6 +120,22 @@ def test_metrics():
   assert float(M.fid(f1, f2)) < 0.1
   pr = M.precision_recall_f1(f1, f1)
   assert float(pr['f1']) > 0.9
+  # matmul-form pairwise distances must match the naive broadcast form
+  # (the naive (N, N, D) tensor OOMed the TPU at eval scale)
+  real = np.random.RandomState(2).randn(64, 8)
+  fake = real + np.random.RandomState(3).randn(64, 8) * 0.5
+  k = 3
+  d_rr = np.linalg.norm(real[:, None] - real[None], axis=-1)
+  d_ff = np.linalg.norm(fake[:, None] - fake[None], axis=-1)
+  r_real = np.sort(d_rr, 1)[:, k]
+  r_fake = np.sort(d_ff, 1)[:, k]
+  prec = (np.linalg.norm(fake[:, None] - real[None], axis=-1)
+          <= r_real[None]).any(1).mean()
+  rec = (np.linalg.norm(real[:, None] - fake[None], axis=-1)
+         <= r_fake[None]).any(1).mean()
+  got = M.precision_recall_f1(jnp.asarray(real), jnp.asarray(fake), k=k)
+  assert abs(float(got['precision']) - prec) < 1e-5
+  assert abs(float(got['recall']) - rec) < 1e-5
 
 
 def test_fbt_init_grads_finite(env):
