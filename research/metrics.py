@@ -52,23 +52,29 @@ def psnr(pred, target, data_range=1.0):
 
 
 def _sqrtm_psd(mat):
-  """Matrix square root of a PSD matrix via eigendecomposition."""
-  w, v = jnp.linalg.eigh(mat)
-  w = jnp.maximum(w, 0.0)
-  return (v * jnp.sqrt(w)[None]) @ v.T
+  """Matrix square root of a PSD matrix via eigendecomposition (numpy)."""
+  w, v = np.linalg.eigh(mat)
+  w = np.maximum(w, 0.0)
+  return (v * np.sqrt(w)[None]) @ v.T
 
 
 def fid(feats_a, feats_b):
   """Frechet distance between two feature sets (B, D).
 
   (reference: research/utils.py:259-278 — the "FVD" number when feats come
-  from the temporal arbiter.)
+  from the temporal arbiter.) Host numpy in float64: the f32 eigh sqrtm
+  drifts enough on near-singular 256x256 covariances to print negative
+  FVDs; this is aggregation code called once per eval rep, not a hot path.
   """
+  feats_a = np.asarray(feats_a, np.float64)
+  feats_b = np.asarray(feats_b, np.float64)
   mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
-  ca = jnp.cov(feats_a, rowvar=False)
-  cb = jnp.cov(feats_b, rowvar=False)
-  csqrt = _sqrtm_psd(_sqrtm_psd(cb) @ ca @ _sqrtm_psd(cb))
-  return ((mu_a - mu_b) ** 2).sum() + jnp.trace(ca + cb - 2 * csqrt)
+  ca = np.cov(feats_a, rowvar=False)
+  cb = np.cov(feats_b, rowvar=False)
+  rb = _sqrtm_psd(cb)
+  csqrt = _sqrtm_psd(rb @ ca @ rb)
+  val = ((mu_a - mu_b) ** 2).sum() + np.trace(ca + cb - 2 * csqrt)
+  return np.maximum(val, 0.0)
 
 
 def precision_recall_f1(real_feats, fake_feats, k=3):
