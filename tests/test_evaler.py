@@ -56,3 +56,6 @@ def test_evaler_protocol(dataset, tmp_path):
   with open(tmp_path / 'out' / 'logger.pkl', 'rb') as f:
     on_disk = pickle.load(f)
   assert on_disk.keys() == final.keys()
+  # the per-batch pipeline must stay one jitted dispatch: the eager fallback
+  # is ~100x slower over the axon tunnel (PROGRESS.md round-3 eval fixes)
+  assert getattr(ev, '_jit_ok', False), 'Evaler fell back to eager stepping'
