@@ -15,7 +15,6 @@ over a device mesh on top of that.
 """
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import jax
@@ -26,16 +25,11 @@ from boxlcd_tpu.engine import collision
 from boxlcd_tpu.engine.collision import Geom, make_geom, rot_mat
 from boxlcd_tpu.engine.spec import WorldSpec
 
-# Solver loop unrolling. Through the axon TPU tunnel every compiled
-# while-loop iteration pays a large fixed overhead (measured ~0.6 ms/iter
-# for a trivial scan body at 4096 worlds — PROGRESS.md round 3), so the
-# many short static-trip-count Gauss-Seidel loops below dominate wall clock
-# unless unrolled. BOXLCD_SOLVER_UNROLL=k unrolls constraint-slot loops
-# fully and iteration loops by factor k; 1 (default) keeps compact loops
-# (fast compiles — right for CPU tests).
-_UNROLL = int(os.environ.get('BOXLCD_SOLVER_UNROLL', '1'))
-_U_SLOTS = _UNROLL > 1   # fully unroll slot loops (trip counts <= ~100)
-_U_ITERS = max(1, _UNROLL)
+# Solver loops stay compact (unroll=1): a round-3 A/B showed full
+# constraint-slot unrolling does NOT help on TPU (18.0 vs 19.5 ms/step —
+# cost tracks HLO op count, not flops; PROGRESS.md round-3 finding 3), and
+# compact scans compile ~10x faster. The fused-kernel answer to launch
+# overhead is engine/mega.py, not unrolling this path.
 
 # Box2D b2Settings constants
 BAUMGARTE = 0.2
@@ -328,7 +322,7 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
 
     (v, w, j_imp, j_mot, j_lim), _ = jax.lax.scan(
         one_joint, (v, w, j_imp, j_mot, j_lim),
-        jnp.arange(len(spec.j_parent)), unroll=_U_SLOTS)
+        jnp.arange(len(spec.j_parent)), unroll=False)
     return v, w, j_imp, j_mot, j_lim
 
   def wall_pass(v, w, wc):
@@ -385,7 +379,7 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
       return (v, w, wc), None
 
     (v, w, wc), _ = jax.lax.scan(one_wall, (v, w, wc), jnp.arange(nw),
-                                 unroll=_U_SLOTS)
+                                 unroll=False)
     return v, w, wc
 
   def pair_pass(v, w, pc):
@@ -412,7 +406,7 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
         return (v, w, pc), None
 
       (v, w, pc), _ = jax.lax.scan(one_fric, (v, w, pc), jnp.arange(2),
-                                   unroll=_U_SLOTS)
+                                   unroll=False)
 
       # normal: sequential candidate deltas from the post-friction state
       rA1, rB1 = b.p_rA[p, 0], b.p_rB[p, 0]
@@ -451,7 +445,7 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
 
     (v, w, pc), _ = jax.lax.scan(one_pair, (v, w, pc),
                                  jnp.arange(len(spec.pair_a)),
-                                 unroll=_U_SLOTS)
+                                 unroll=False)
     return v, w, pc
 
   def vel_iter(_, carry):
@@ -464,7 +458,7 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
   v, w, j_imp, j_mot, j_lim, wc, pc = jax.lax.fori_loop(
       0, spec.vel_iters, vel_iter,
       (b.v, b.w, b.j_imp, b.j_mot, b.j_lim, b.wc, b.pc),
-      unroll=min(_U_ITERS, spec.vel_iters) if spec.vel_iters else 1)
+      unroll=1)
   return b._replace(v=v, w=w, j_imp=j_imp, j_mot=j_mot, j_lim=j_lim,
                     wc=wc, pc=pc)
 
@@ -489,7 +483,7 @@ def step_world(spec: WorldSpec, state: WorldState, action: jnp.ndarray
     return _substep(spec, st, motor_speed, motor_changed), None
 
   state, _ = jax.lax.scan(sub, state, None, length=spec.substeps,
-                          unroll=_U_SLOTS)
+                          unroll=False)
   return state._replace(ep_t=state.ep_t + 1, prev_motor=motor_speed)
 
 
@@ -536,7 +530,7 @@ def step_world_batch(spec: WorldSpec, states: WorldState, actions,
     return new_states, None
 
   states, _ = jax.lax.scan(sub, states, None, length=spec.substeps,
-                           unroll=_U_SLOTS)
+                           unroll=False)
   return states._replace(ep_t=states.ep_t + 1, prev_motor=motor_speed)
 
 
@@ -808,7 +802,7 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
 
     (c, a, minsep), _ = jax.lax.scan(one_wall_slot,
                                      (c, a, jnp.asarray(0.0, c.dtype)),
-                                     jnp.arange(nw * 2), unroll=_U_SLOTS)
+                                     jnp.arange(nw * 2), unroll=False)
 
     # pair contacts
     def one_pair_slot(ca, idx):
@@ -856,19 +850,17 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
 
     (c, a, minsep), _ = jax.lax.scan(one_pair_slot, (c, a, minsep),
                                      jnp.arange(len(spec.pair_a) * 2),
-                                     unroll=_U_SLOTS)
+                                     unroll=False)
     (c, a, jbad), _ = jax.lax.scan(one_joint, (c, a, jnp.asarray(False)),
                                    jnp.arange(len(spec.j_parent)),
-                                   unroll=_U_SLOTS)
+                                   unroll=False)
     okay = (minsep >= -3.0 * LINEAR_SLOP) & ~jbad
     c = jnp.where(done, c0, c)
     a = jnp.where(done, a0, a)
     return c, a, done | okay
 
   c, a, _ = jax.lax.fori_loop(0, spec.pos_iters, pos_iter,
-                              (c, a, jnp.asarray(False)),
-                              unroll=min(_U_ITERS, spec.pos_iters)
-                              if spec.pos_iters else 1)
+                              (c, a, jnp.asarray(False)))
   return c, a
 
 

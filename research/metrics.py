@@ -65,6 +65,12 @@ def fid(feats_a, feats_b):
   from the temporal arbiter.) Host numpy in float64: the f32 eigh sqrtm
   drifts enough on near-singular 256x256 covariances to print negative
   FVDs; this is aggregation code called once per eval rep, not a hot path.
+
+  DELIBERATE deviation from the reference: the mean-difference term uses
+  .sum() (the standard Frechet form) where the reference's compute_fid uses
+  .mean() (utils.py:265-277), so absolute values differ from
+  reference-reported FVDs by up to a factor of D=256 on that term. Relative
+  comparisons within either codebase are unaffected.
   """
   feats_a = np.asarray(feats_a, np.float64)
   feats_b = np.asarray(feats_b, np.float64)
@@ -90,8 +96,11 @@ def precision_recall_f1(real_feats, fake_feats, k=3):
   def pdist2(a, b):
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    d2 = ((a * a).sum(-1)[:, None] + (b * b).sum(-1)[None]
-          - 2.0 * (a @ b.T))
+    # HIGHEST precision: default TPU matmul runs bfloat16 passes, and the
+    # cancellation-prone |a|^2+|b|^2-2ab expansion amplifies that into O(1)
+    # squared-distance error at D=256 feature scales, distorting k-NN radii.
+    ab = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = (a * a).sum(-1)[:, None] + (b * b).sum(-1)[None] - 2.0 * ab
     return jnp.maximum(d2, 0.0)
 
   def knn_radius(x, k):

@@ -124,7 +124,12 @@ class Evaler:
       self._jit_ok = True
     if self._jit_ok:
       try:
-        return self._jit_step(batch, k1, k2)
+        out = self._jit_step(batch, k1, k2)
+        # Materialize INSIDE the guard: dispatch is async, so runtime
+        # failures (device OOM, tunnel faults) would otherwise surface later
+        # at float(v) in do_ds where the eager fallback can't engage.
+        return jax.tree.map(lambda x: x if x is None else np.asarray(x), out,
+                            is_leaf=lambda x: x is None)
       except Exception as e:  # pragma: no cover - defensive fallback
         print(f'evaler: jit step failed ({type(e).__name__}: {e}); '
               'falling back to eager')
