@@ -91,7 +91,8 @@ def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3):
       if trender is not None:
         # exact frames rendered straight from the megakernel's pose tiles
         # (no transposes / per-body packing between physics and raster)
-        lcd = traj_raster.rows_to_lcd(trender(traj['tiles']), env.lcd_w)
+        lcd = traj_raster.rows_to_lcd(
+            trender(traj['tiles'], states.is_circle), env.lcd_w)
         obs = jax.vmap(lambda i, c, a: env.observe_pose(i, c, a, lcd=False))(
             ic, traj['c'].reshape(T * B, n, 2), traj['a'].reshape(T * B, n))
         return states, (lcd.sum() + obs['full_state'].sum()

@@ -155,8 +155,9 @@ def make_mega_rollout_fn(env, pack_lcd=False, interpret=False, chunk=None):
       a0 = mega._to_tiles(states.a, Bp)                # (n, G, L)
       tile0 = jnp.concatenate([c0, a0[:, None]], axis=1)[None]
       rows = jnp.concatenate(
-          [trender1(tile0)] + [trenders[c](tl) for c, tl in
-                               zip(sizes, tiles)])[:T]  # (T, H, G, L)
+          [trender1(tile0, states.is_circle)]
+          + [trenders[c](tl, states.is_circle) for c, tl in
+             zip(sizes, tiles)])[:T]                    # (T, H, G, L)
       lcd_tb = traj_raster.rows_to_lcd(rows, env.lcd_w)  # (T, Bp, H, W)
       obs = jax.vmap(lambda i, c, a: env.observe_pose(i, c, a, lcd=False))(
           ic.reshape(T * Bp, n), cs.reshape(T * Bp, n, 2),

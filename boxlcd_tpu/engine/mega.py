@@ -12,9 +12,14 @@ iterations, and island sleeping, times `substeps` — into one Pallas TPU
 kernel that loops over T steps in VMEM and streams per-step poses out.
 Launch cost is paid once per rollout instead of ~10^4 times.
 
-Scope (v1): envs with no body-body collision pairs and no per-episode
-random shapes — which covers the headline robots (Urchin, Luxo; the
-reference benchmarks those in world_env.py:446-452). `supports(spec)`
+Scope (v2): everything the jnp path simulates — body-body contact pairs
+(circle-circle, poly-circle, poly-poly SAT + incident-edge clipping, all
+mirrored from engine/collision.py in tile form) and per-episode random
+shapes (is_circle enters as per-world tiles; both shape variants are
+computed and selected, exactly like collision.py's dispatch). This covers
+the full env zoo incl. the manipulation tier (UrchinBall/LuxoCube/...,
+reference: boxLCD/envs.py:66-137), which the reference steps through the
+same Box2D solver as the robots (world_env.py:446-452). `supports(spec)`
 reports eligibility; callers fall back to physics.step_world_batch.
 
 Layout: worlds on the vector axes — every per-world scalar is one
@@ -38,7 +43,7 @@ from boxlcd_tpu.engine.physics import (
     ANGULAR_SLOP, BAUMGARTE, LINEAR_SLOP, MAX_ANGULAR_CORRECTION,
     MAX_LINEAR_CORRECTION, TIME_TO_SLEEP, LIN_SLEEP_TOL_SQ, ANG_SLEEP_TOL_SQ,
     VELOCITY_THRESHOLD, WorldState, _block_lcp, _joint_block)
-from boxlcd_tpu.engine.spec import CIRCLE, POLY, WorldSpec
+from boxlcd_tpu.engine.spec import CIRCLE, POLY, RANDOM, WorldSpec
 
 import os
 
@@ -52,9 +57,20 @@ BIG = 1e9
 
 
 def supports(spec: WorldSpec) -> bool:
-  """v1 gate: fixed shapes, no active pairs."""
-  return (int(np.sum(spec.pair_valid)) == 0
-          and all(int(s) in (CIRCLE, POLY) for s in spec.shape_static))
+  """v2 gate: contact pairs and random shapes are fused in-kernel. The only
+  structural assumptions left are reference invariants: joints never attach
+  to RANDOM-shape bodies (only objects are random, objects are never
+  jointed — boxLCD/world_env.py:273-285), and a RANDOM body's two mass
+  variants share a local center (circle and box both centered)."""
+  for j in range(spec.jn):
+    for b in (int(spec.j_parent[j]), int(spec.j_child[j])):
+      if int(spec.shape_static[b]) == RANDOM:
+        return False
+  for i in range(spec.n):
+    if int(spec.shape_static[i]) == RANDOM and not np.allclose(
+        spec.local_center[i, 0], spec.local_center[i, 1]):
+      return False
+  return True
 
 
 # ---- build-time constant folding for wall math ----------------------------
@@ -126,10 +142,18 @@ def _build_kernel(spec: WorldSpec, T: int):
   gx, gy = float(spec.gravity[0]), float(spec.gravity[1])
   allow_sleep = bool(spec.allow_sleep)
 
-  is_circ = [int(spec.shape_static[i]) == CIRCLE for i in range(n)]
+  kind = [int(spec.shape_static[i]) for i in range(n)]
+  is_circ = [k == CIRCLE for k in kind]
+  is_rand = [k == RANDOM for k in kind]
   shape_col = [0 if ic else 1 for ic in is_circ]
+  # fixed-shape bodies bake inverse mass/inertia as Python floats; RANDOM
+  # bodies select per world from these two variants (tiles built in-kernel)
   inv_m = [float(spec.inv_m[i, shape_col[i]]) for i in range(n)]
   inv_i = [float(spec.inv_i[i, shape_col[i]]) for i in range(n)]
+  inv_m2 = [(float(spec.inv_m[i, 0]), float(spec.inv_m[i, 1]))
+            for i in range(n)]
+  inv_i2 = [(float(spec.inv_i[i, 0]), float(spec.inv_i[i, 1]))
+            for i in range(n)]
   lc = [tuple(map(float, spec.local_center[i, shape_col[i]]))
         for i in range(n)]
   radius = [float(spec.radius[i]) for i in range(n)]
@@ -163,16 +187,45 @@ def _build_kernel(spec: WorldSpec, T: int):
     axm_raw = inv_i[pa] + inv_i[ch]
     joints[-1]['axmass'] = (1.0 / axm_raw) if axm_raw > 0 else 0.0
 
-  # static sleep islands (joint graph only — valid because no pairs)
-  label = list(range(n))
-  for jd in joints:
-    a, b = label[jd['pa']], label[jd['ch']]
-    lo, hi = min(a, b), max(a, b)
-    label = [lo if l == hi else l for l in label]
-  islands = {}
-  for i, l in enumerate(label):
-    islands.setdefault(l, []).append(i)
-  islands = list(islands.values())
+  # ---- contact pairs (static topology; per-pair manifolds are dynamic) ----
+  P_pad = len(spec.pair_a)
+  pairs = []
+  for p in range(P_pad):
+    if not bool(spec.pair_valid[p]):
+      continue
+    pa_, pb_ = int(spec.pair_a[p]), int(spec.pair_b[p])
+    pairs.append(dict(
+        p=p, a=pa_, b=pb_,
+        mu=float(np.sqrt(spec.friction[pa_] * spec.friction[pb_])),
+        rest=float(max(spec.restitution[pa_], spec.restitution[pb_]))))
+  # outward face normals in the body com frame (constants; rotate in-kernel)
+  norms_loc = [[(float(spec.normals[i, v, 0]), float(spec.normals[i, v, 1]))
+                for v in range(nverts[i])] for i in range(n)]
+  # bodies whose polygon variant participates in pair narrowphase need world
+  # verts+normals even if they are circles per-world (RANDOM)
+  pair_poly_bodies = set()
+  for pd in pairs:
+    for i in (pd['a'], pd['b']):
+      if kind[i] != CIRCLE:
+        pair_poly_bodies.add(i)
+
+  if len(pairs) == 0:
+    # static sleep islands (joint graph only — exact when no pairs)
+    label = list(range(n))
+    for jd in joints:
+      a, b = label[jd['pa']], label[jd['ch']]
+      lo, hi = min(a, b), max(a, b)
+      label = [lo if l == hi else l for l in label]
+    islands = {}
+    for i, l in enumerate(label):
+      islands.setdefault(l, []).append(i)
+    islands = list(islands.values())
+  else:
+    # pairs merge islands dynamically — computed per substep in-kernel with
+    # the SAME one-hop min-label propagation count as physics._finalize
+    islands = None
+  label_iters = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+  joint_edges = [(jd['pa'], jd['ch']) for jd in joints]
 
   ANG_SLOP = float(ANGULAR_SLOP)
   MAX_ACORR = float(MAX_ANGULAR_CORRECTION)
@@ -181,10 +234,11 @@ def _build_kernel(spec: WorldSpec, T: int):
     return (i * nw + wi) * 2 + k
 
   def kernel(c_ref, a_ref, v_ref, w_ref, wci_ref, wcid_ref, ji_ref, jm_ref,
-             jl_ref, js_ref, jref_ref, slp_ref, pm_ref, ms_ref,
+             jl_ref, js_ref, jref_ref, slp_ref, pm_ref, pci_ref, pcid_ref,
+             isc_ref, ms_ref,
              c_out, a_out, v_out, w_out, wci_out, wcid_out, ji_out, jm_out,
-             jl_out, js_out, slp_out, pm_out, tr_ref, tr_buf, tr_sem,
-             ms_buf, ms_sem):
+             jl_out, js_out, slp_out, pm_out, pci_out, pcid_out,
+             tr_ref, tr_buf, tr_sem, ms_buf, ms_sem):
     # program_id must be read OUTSIDE lax loop bodies: the interpret-mode
     # evaluator only substitutes it at kernel top level
     g = pl.program_id(0)
@@ -209,12 +263,26 @@ def _build_kernel(spec: WorldSpec, T: int):
         tuple(js_ref[j] for j in range(jn_pad)),     # jstate (f32)
         tuple(slp_ref[i] for i in range(n)),         # sleep_time
         tuple(pm_ref[j] for j in range(jn_pad)),     # prev_motor
+        tuple(pci_ref[pd['p'], k, 0] for pd in pairs
+              for k in range(2)),                    # pcn
+        tuple(pci_ref[pd['p'], k, 1] for pd in pairs
+              for k in range(2)),                    # pct
+        tuple(pcid_ref[pd['p'], k] for pd in pairs
+              for k in range(2)),                    # pcid (f32)
     )
     jref = tuple(jref_ref[j] for j in range(jn_pad))
+    # per-episode shape flags (constant over the rollout); per-world inverse
+    # mass/inertia for RANDOM bodies, Python floats for fixed ones
+    iscb = tuple((isc_ref[i] > 0.5) if is_rand[i] else None
+                 for i in range(n))
+    imv = [jnp.where(iscb[i], inv_m2[i][0], inv_m2[i][1])
+           if is_rand[i] else inv_m[i] for i in range(n)]
+    iiv = [jnp.where(iscb[i], inv_i2[i][0], inv_i2[i][1])
+           if is_rand[i] else inv_i[i] for i in range(n)]
 
     def substep(st, ms, motor_changed):
       (cx, cy, aa, vx, vy, om, wcn, wct, wcid, jix, jiy, jmot, jlim, jstate,
-       slp, pm) = [list(x) for x in st]
+       slp, pm, pcn, pct, pcid) = [list(x) for x in st]
       cx0, cy0, aa0 = list(cx), list(cy), list(aa)
 
       # ---- 1. integrate velocities + damping ----------------------------
@@ -226,13 +294,19 @@ def _build_kernel(spec: WorldSpec, T: int):
       # ---- 2. wall narrowphase ------------------------------------------
       ca = [jnp.cos(aa[i]) for i in range(n)]
       sa = [jnp.sin(aa[i]) for i in range(n)]
-      # world verts about com, per poly body
+      # world verts about com, per poly-capable body (POLY or RANDOM)
       wvx = {}
       wvy = {}
       for i in range(n):
         if not is_circ[i]:
           wvx[i] = [cx[i] + ca[i] * px - sa[i] * py for px, py in verts_com[i]]
           wvy[i] = [cy[i] + sa[i] * px + ca[i] * py for px, py in verts_com[i]]
+      # world face normals, for bodies whose polygon variant meets a pair
+      wnxb = {}
+      wnyb = {}
+      for i in sorted(pair_poly_bodies):
+        wnxb[i] = [ca[i] * nx_ - sa[i] * ny_ for nx_, ny_ in norms_loc[i]]
+        wnyb[i] = [sa[i] * nx_ + ca[i] * ny_ for nx_, ny_ in norms_loc[i]]
 
       # per-slot narrowphase results
       m_sep = [None] * (n * nw * 2)
@@ -247,26 +321,18 @@ def _build_kernel(spec: WorldSpec, T: int):
         for wi in range(nw):
           nx, ny = wall_n[wi]
           off = wall_off[wi]
-          if is_circ[i]:
+          cvar = None
+          pvar = None
+          if kind[i] != POLY:    # circle variant
             sep_c = _csubc(_csubc(_csubc(
                 _cadd2(_cmul(nx, cx[i]), _cmul(ny, cy[i])), off),
                 radius[i]), POLY_RADIUS)
             ptx = _csubc(cx[i], radius[i] * nx)
             pty = _csubc(cy[i], radius[i] * ny)
             z = jnp.zeros_like(sep_c)
-            vals = [(sep_c, ptx, pty, z), (jnp.full_like(sep_c, BIG), ptx,
-                                           pty, z)]
-            rad_sub[i][wi] = radius[i] + POLY_RADIUS
-            for k, (sep, px_, py_, id_) in enumerate(vals):
-              s = wslot(i, wi, k)
-              m_sep[s] = sep
-              m_tch[s] = sep <= 0.0
-              m_ids[s] = id_
-              m_ptx[s] = px_
-              m_pty[s] = py_
-              m_lpx[s] = z
-              m_lpy[s] = z
-          else:
+            cvar = [(sep_c, ptx, pty, z, z, z),
+                    (jnp.full_like(sep_c, BIG), ptx, pty, z, z, z)]
+          if kind[i] != CIRCLE:  # polygon variant
             nv = nverts[i]
             seps = [_csubc(_csubc(
                 _cadd2(_cmul(nx, wvx[i][v]), _cmul(ny, wvy[i][v])), off),
@@ -300,19 +366,255 @@ def _build_kernel(spec: WorldSpec, T: int):
             for v in range(1, nv):
               p2x = jnp.where(i2 == float(v), wvx[i][v], p2x)
               p2y = jnp.where(i2 == float(v), wvy[i][v], p2y)
-            rad_sub[i][wi] = 2 * POLY_RADIUS
-            for k, (sep, px_, py_, id_) in enumerate(
-                ((s1, p1x, p1y, i1), (s2, p2x, p2y, i2))):
-              s = wslot(i, wi, k)
-              m_sep[s] = sep
-              m_tch[s] = sep <= 0.0
-              m_ids[s] = id_
-              m_ptx[s] = px_
-              m_pty[s] = py_
+            pvar = []
+            for sep, px_, py_, id_ in ((s1, p1x, p1y, i1), (s2, p2x, p2y, i2)):
               # local anchor: R^T (pt - c)
               dx, dy = px_ - cx[i], py_ - cy[i]
-              m_lpx[s] = ca[i] * dx + sa[i] * dy
-              m_lpy[s] = -sa[i] * dx + ca[i] * dy
+              pvar.append((sep, px_, py_, id_,
+                           ca[i] * dx + sa[i] * dy,
+                           -sa[i] * dx + ca[i] * dy))
+          if pvar is None:
+            var = cvar
+            rad_sub[i][wi] = radius[i] + POLY_RADIUS
+          elif cvar is None:
+            var = pvar
+            rad_sub[i][wi] = 2 * POLY_RADIUS
+          else:                  # RANDOM: select per world
+            isc = iscb[i]
+            var = [tuple(jnp.where(isc, cf, pf)
+                         for cf, pf in zip(cvar[k], pvar[k]))
+                   for k in range(2)]
+            rad_sub[i][wi] = jnp.where(
+                isc, radius[i] + POLY_RADIUS, 2 * POLY_RADIUS)
+          for k, (sep, px_, py_, id_, lpx_, lpy_) in enumerate(var):
+            s = wslot(i, wi, k)
+            m_sep[s] = sep
+            m_tch[s] = sep <= 0.0
+            m_ids[s] = id_
+            m_ptx[s] = px_
+            m_pty[s] = py_
+            m_lpx[s] = lpx_
+            m_lpy[s] = lpy_
+
+      # ---- 2b. pair narrowphase (mirrors engine/collision.py in tile form;
+      # shape dispatch is static where shapes are fixed, per-world selects
+      # where a body's shape is RANDOM) -----------------------------------
+      def fsel(idx, vals):
+        """vals[int(idx)] via a select chain (f32 index tiles; Mosaic has no
+        per-lane vector gather)."""
+        out = vals[0]
+        for v in range(1, len(vals)):
+          out = jnp.where(idx == float(v), vals[v], out)
+        return out
+
+      def mf_cc(a, b):
+        """circle-circle (collision._collide_circles)."""
+        dx = cx[b] - cx[a]
+        dy = cy[b] - cy[a]
+        dist = jnp.sqrt(dx * dx + dy * dy)
+        ok = dist > 1e-9
+        inv = 1.0 / jnp.maximum(dist, 1e-9)
+        nxv = jnp.where(ok, dx * inv, 0.0)
+        nyv = jnp.where(ok, dy * inv, 1.0)
+        rA, rB = radius[a], radius[b]
+        sep = dist - rA - rB
+        ptx = 0.5 * ((cx[a] + rA * nxv) + (cx[b] - rB * nxv))
+        pty = 0.5 * ((cy[a] + rA * nyv) + (cy[b] - rB * nyv))
+        z = jnp.zeros_like(sep)
+        return dict(nx=nxv, ny=nyv, p1x=ptx, p1y=pty, p2x=ptx, p2y=pty,
+                    t1=sep <= 0.0, t2=jnp.zeros(sep.shape, bool),
+                    id1=z, id2=z, mt=0.0, lnx=z, lny=z, lppx=z, lppy=z,
+                    l1x=z, l1y=z, l2x=z, l2y=z, rs=rA + rB)
+
+      def mf_pc(i, j, flip):
+        """poly(i) vs circle(j) (collision._collide_poly_circle); flip=True
+        marks the poly as body B of the pair (normal negated, mtype 2)."""
+        nv = nverts[i]
+        seps = [wnxb[i][v] * (cx[j] - wvx[i][v])
+                + wnyb[i][v] * (cy[j] - wvy[i][v]) for v in range(nv)]
+        b_s = seps[0]
+        b_i = jnp.zeros_like(b_s)
+        for v in range(1, nv):      # argmax, first max wins (jnp.argmax)
+          upd = seps[v] > b_s
+          b_s = jnp.where(upd, seps[v], b_s)
+          b_i = jnp.where(upd, float(v), b_i)
+        nxt = jnp.where(b_i == float(nv - 1), 0.0, b_i + 1.0)
+        v1x, v1y = fsel(b_i, wvx[i]), fsel(b_i, wvy[i])
+        v2x, v2y = fsel(nxt, wvx[i]), fsel(nxt, wvy[i])
+        fnx, fny = fsel(b_i, wnxb[i]), fsel(b_i, wnyb[i])
+        u1 = (cx[j] - v1x) * (v2x - v1x) + (cy[j] - v1y) * (v2y - v1y)
+        u2 = (cx[j] - v2x) * (v1x - v2x) + (cy[j] - v2y) * (v1y - v2y)
+        d1x, d1y = cx[j] - v1x, cy[j] - v1y
+        d2x, d2y = cx[j] - v2x, cy[j] - v2y
+        l1 = jnp.sqrt(d1x * d1x + d1y * d1y)
+        l2 = jnp.sqrt(d2x * d2x + d2y * d2y)
+        n1x = jnp.where(l1 > 1e-9, d1x / jnp.maximum(l1, 1e-9), fnx)
+        n1y = jnp.where(l1 > 1e-9, d1y / jnp.maximum(l1, 1e-9), fny)
+        n2x = jnp.where(l2 > 1e-9, d2x / jnp.maximum(l2, 1e-9), fnx)
+        n2y = jnp.where(l2 > 1e-9, d2y / jnp.maximum(l2, 1e-9), fny)
+        inside = b_s < 1e-9
+        use1 = (~inside) & (u1 <= 0.0)
+        use2 = (~inside) & (u2 <= 0.0) & (~use1)
+        nxv = jnp.where(use1, n1x, jnp.where(use2, n2x, fnx))
+        nyv = jnp.where(use1, n1y, jnp.where(use2, n2y, fny))
+        plx = jnp.where(use1, v1x, jnp.where(use2, v2x, 0.5 * (v1x + v2x)))
+        ply = jnp.where(use1, v1y, jnp.where(use2, v2y, 0.5 * (v1y + v2y)))
+        sep_raw = jnp.where(use1, l1, jnp.where(
+            use2, l2, (cx[j] - plx) * fnx + (cy[j] - ply) * fny))
+        rB = radius[j]
+        sep = sep_raw - rB - POLY_RADIUS
+        ptx = 0.5 * ((cx[j] - sep_raw * nxv) + (cx[j] - rB * nxv))
+        pty = 0.5 * ((cy[j] - sep_raw * nyv) + (cy[j] - rB * nyv))
+        dlx, dly = plx - cx[i], ply - cy[i]
+        z = jnp.zeros_like(sep)
+        return dict(
+            nx=-nxv if flip else nxv, ny=-nyv if flip else nyv,
+            p1x=ptx, p1y=pty, p2x=ptx, p2y=pty,
+            t1=sep <= 0.0, t2=jnp.zeros(sep.shape, bool),
+            id1=z, id2=z, mt=2.0 if flip else 1.0,
+            lnx=ca[i] * nxv + sa[i] * nyv, lny=-sa[i] * nxv + ca[i] * nyv,
+            lppx=ca[i] * dlx + sa[i] * dly, lppy=-sa[i] * dlx + ca[i] * dly,
+            l1x=z, l1y=z, l2x=z, l2y=z, rs=rB + POLY_RADIUS)
+
+      def max_sep_dir(A, B):
+        """collision._max_separation: max over A's faces of min over B's
+        verts of face-plane separation. Returns (sep, face-index tile)."""
+        best_s = None
+        best_i = None
+        for k2 in range(nverts[A]):
+          off_k = wnxb[A][k2] * wvx[A][k2] + wnyb[A][k2] * wvy[A][k2]
+          dmin = None
+          for v in range(nverts[B]):
+            d = wnxb[A][k2] * wvx[B][v] + wnyb[A][k2] * wvy[B][v] - off_k
+            dmin = d if dmin is None else jnp.minimum(dmin, d)
+          if best_s is None:
+            best_s, best_i = dmin, jnp.zeros_like(dmin)
+          else:
+            upd = dmin > best_s
+            best_s = jnp.where(upd, dmin, best_s)
+            best_i = jnp.where(upd, float(k2), best_i)
+        return best_s, best_i
+
+      def clipseg(p1x, p1y, p2x, p2y, id1, id2, nx_, ny_, off):
+        """collision._clip_segment."""
+        d1 = nx_ * p1x + ny_ * p1y - off
+        d2 = nx_ * p2x + ny_ * p2y - off
+        den = d1 - d2
+        t = d1 / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+        pmx = p1x + t * (p2x - p1x)
+        pmy = p1y + t * (p2y - p1y)
+        q1x = jnp.where(d1 <= 0, p1x, pmx)
+        q1y = jnp.where(d1 <= 0, p1y, pmy)
+        i1 = jnp.where(d1 <= 0, id1, id2 + 16.0)
+        q2x = jnp.where(d2 <= 0, p2x, pmx)
+        q2y = jnp.where(d2 <= 0, p2y, pmy)
+        i2_ = jnp.where(d2 <= 0, id2, id1 + 16.0)
+        return q1x, q1y, q2x, q2y, i1, i2_, jnp.minimum(d1, d2) <= 0
+
+      def clip_face(R, I, ref_face, flip):
+        """collision._clip_face: clip I's incident face against R's
+        reference face ref_face (f32 index tile)."""
+        nvR, nvI = nverts[R], nverts[I]
+        v1x, v1y = fsel(ref_face, wvx[R]), fsel(ref_face, wvy[R])
+        i2 = jnp.where(ref_face == float(nvR - 1), 0.0, ref_face + 1.0)
+        v2x, v2y = fsel(i2, wvx[R]), fsel(i2, wvy[R])
+        rnx, rny = fsel(ref_face, wnxb[R]), fsel(ref_face, wnyb[R])
+        best_d = None
+        inc = None
+        for v in range(nvI):        # argmin, first min wins (jnp.argmin)
+          d = wnxb[I][v] * rnx + wnyb[I][v] * rny
+          if best_d is None:
+            best_d, inc = d, jnp.zeros_like(d)
+          else:
+            upd = d < best_d
+            best_d = jnp.where(upd, d, best_d)
+            inc = jnp.where(upd, float(v), inc)
+        j2 = jnp.where(inc == float(nvI - 1), 0.0, inc + 1.0)
+        p1x, p1y = fsel(inc, wvx[I]), fsel(inc, wvy[I])
+        p2x, p2y = fsel(j2, wvx[I]), fsel(j2, wvy[I])
+        tx_, ty_ = v2x - v1x, v2y - v1y
+        tl = jnp.maximum(jnp.sqrt(tx_ * tx_ + ty_ * ty_), 1e-9)
+        tx_, ty_ = tx_ / tl, ty_ / tl
+        q1x, q1y, q2x, q2y, i1, i2_, ok1 = clipseg(
+            p1x, p1y, p2x, p2y, inc, j2, -tx_, -ty_,
+            -(tx_ * v1x + ty_ * v1y))
+        q1x, q1y, q2x, q2y, i1, i2_, ok2 = clipseg(
+            q1x, q1y, q2x, q2y, i1, i2_, tx_, ty_,
+            tx_ * v2x + ty_ * v2y)
+        ok = ok1 & ok2
+        total_r = 2 * POLY_RADIUS
+        sep1 = rnx * (q1x - v1x) + rny * (q1y - v1y) - total_r
+        sep2 = rnx * (q2x - v1x) + rny * (q2y - v1y) - total_r
+        midx, midy = 0.5 * (v1x + v2x) - cx[R], 0.5 * (v1y + v2y) - cy[R]
+        dq1x, dq1y = q1x - cx[I], q1y - cy[I]
+        dq2x, dq2y = q2x - cx[I], q2y - cy[I]
+        idoff = 64.0 if flip else 0.0
+        return dict(
+            nx=-rnx if flip else rnx, ny=-rny if flip else rny,
+            p1x=q1x - 0.5 * (sep1 + total_r) * rnx,
+            p1y=q1y - 0.5 * (sep1 + total_r) * rny,
+            p2x=q2x - 0.5 * (sep2 + total_r) * rnx,
+            p2y=q2y - 0.5 * (sep2 + total_r) * rny,
+            t1=ok & (sep1 <= 0), t2=ok & (sep2 <= 0),
+            id1=i1 + idoff, id2=i2_ + idoff, mt=2.0 if flip else 1.0,
+            lnx=ca[R] * rnx + sa[R] * rny, lny=-sa[R] * rnx + ca[R] * rny,
+            lppx=ca[R] * midx + sa[R] * midy,
+            lppy=-sa[R] * midx + ca[R] * midy,
+            l1x=ca[I] * dq1x + sa[I] * dq1y,
+            l1y=-sa[I] * dq1x + ca[I] * dq1y,
+            l2x=ca[I] * dq2x + sa[I] * dq2y,
+            l2y=-sa[I] * dq2x + ca[I] * dq2y,
+            rs=total_r)
+
+      def mf_pp(a, b):
+        """poly-poly (collision._collide_polys): SAT + incident-edge clip."""
+        sepA, faceA = max_sep_dir(a, b)
+        sepB, faceB = max_sep_dir(b, a)
+        total_r = 2 * POLY_RADIUS
+        no_contact = (sepA > total_r) | (sepB > total_r)
+        use_b = sepB > sepA + 0.1 * LINEAR_SLOP
+        mA = clip_face(a, b, faceA, flip=False)
+        mB = clip_face(b, a, faceB, flip=True)
+        m = {k2: jnp.where(use_b, mB[k2], mA[k2]) if k2 != 'rs' else total_r
+             for k2 in mA}
+        m['t1'] = m['t1'] & ~no_contact
+        m['t2'] = m['t2'] & ~no_contact
+        return m
+
+      def mf_pair(pd):
+        """collision.collide_pair: static kind dispatch; per-world select
+        only where a body's shape is RANDOM."""
+        a, b = pd['a'], pd['b']
+        ka, kb = kind[a], kind[b]
+        # reachable variants
+        m_cc = mf_cc(a, b) if (ka != POLY and kb != POLY) else None
+        m_pc = mf_pc(a, b, False) if (ka != CIRCLE and kb != POLY) else None
+        m_cp = mf_pc(b, a, True) if (ka != POLY and kb != CIRCLE) else None
+        m_pp = mf_pp(a, b) if (ka != CIRCLE and kb != CIRCLE) else None
+        ms_ = [m for m in (m_cc, m_pc, m_cp, m_pp) if m is not None]
+        if len(ms_) == 1:
+          return ms_[0]
+        out = {}
+        for f in ms_[0]:
+          def pick(mc, mp):     # select by b's circleness
+            if mc is None and mp is None:
+              return None
+            if mc is None:
+              return mp[f]
+            if mp is None:
+              return mc[f]
+            return jnp.where(iscb[b], mc[f], mp[f])
+          fb = pick(m_cc, m_cp)    # a is a circle
+          fa = pick(m_pc, m_pp)    # a is a poly
+          if fb is None:
+            out[f] = fa
+          elif fa is None:
+            out[f] = fb
+          else:
+            out[f] = jnp.where(iscb[a], fb, fa)
+        return out
+
+      pman = [mf_pair(pd) for pd in pairs]
 
       # ---- 3. warm-start matching ---------------------------------------
       n_wcn = [None] * (n * nw * 2)
@@ -330,6 +632,22 @@ def _build_kernel(spec: WorldSpec, T: int):
             n_wcn[s] = jnp.where(tchf, imp_n, 0.0)
             n_wct[s] = jnp.where(tchf, imp_t, 0.0)
       wcn, wct = n_wcn, n_wct
+      # pair contacts: carry impulses for persisting feature ids
+      n_pcn = [None] * (2 * len(pairs))
+      n_pct = [None] * (2 * len(pairs))
+      for q in range(len(pairs)):
+        m = pman[q]
+        o1, o2 = 2 * q, 2 * q + 1
+        for k, (idk, tchk) in enumerate(((m['id1'], m['t1']),
+                                         (m['id2'], m['t2']))):
+          s = 2 * q + k
+          m1 = (idk == pcid[o1]).astype(idk.dtype)
+          m2 = (idk == pcid[o2]).astype(idk.dtype)
+          imp_n = m1 * pcn[o1] + m2 * pcn[o2]
+          imp_t = m1 * pct[o1] + m2 * pct[o2]
+          n_pcn[s] = jnp.where(tchk, imp_n, 0.0)
+          n_pct[s] = jnp.where(tchk, imp_t, 0.0)
+      pcn, pct = n_pcn, n_pct
 
       # ---- 4. constraint init (walls) -----------------------------------
       w_rBx = [None] * (n * nw * 2)
@@ -342,7 +660,7 @@ def _build_kernel(spec: WorldSpec, T: int):
       w_blk = [None] * (n * nw)
       w_vtch = [None] * (n * nw * 2)
       for i in range(n):
-        im, ii = inv_m[i], inv_i[i]
+        im, ii = imv[i], iiv[i]
         for wi in range(nw):
           nx, ny = wall_n[wi]
           tx, ty = ny, -nx
@@ -382,6 +700,64 @@ def _build_kernel(spec: WorldSpec, T: int):
             w_bias[s] = jnp.where(vn0 < -VELOCITY_THRESHOLD,
                                   -rest[i] * vn0, 0.0)
 
+      # ---- 4b. pair constraint init (mirrors physics._presolve p_*) ------
+      np2 = 2 * len(pairs)
+      p_rAx = [None] * np2
+      p_rAy = [None] * np2
+      p_rBx = [None] * np2
+      p_rBy = [None] * np2
+      p_nm = [None] * np2
+      p_tm = [None] * np2
+      p_bias = [None] * np2
+      p_k = [None] * np2
+      p_k12 = [None] * len(pairs)
+      p_blk = [None] * len(pairs)
+      p_vtch = [None] * np2
+      for q, pd in enumerate(pairs):
+        a, b = pd['a'], pd['b']
+        m = pman[q]
+        imA, iiA = imv[a], iiv[a]
+        imB, iiB = imv[b], iiv[b]
+        nxv, nyv = m['nx'], m['ny']
+        txv, tyv = nyv, -nxv
+        rn = [None, None]
+        kn = [None, None]
+        kt = [None, None]
+        for k, (px_, py_) in enumerate(((m['p1x'], m['p1y']),
+                                        (m['p2x'], m['p2y']))):
+          s = 2 * q + k
+          p_rAx[s], p_rAy[s] = px_ - cx[a], py_ - cy[a]
+          p_rBx[s], p_rBy[s] = px_ - cx[b], py_ - cy[b]
+          rnA = p_rAx[s] * nyv - p_rAy[s] * nxv
+          rnB = p_rBx[s] * nyv - p_rBy[s] * nxv
+          rn[k] = (rnA, rnB)
+          kn[k] = imA + imB + iiA * rnA * rnA + iiB * rnB * rnB
+          rtA = p_rAx[s] * tyv - p_rAy[s] * txv
+          rtB = p_rBx[s] * tyv - p_rBy[s] * txv
+          kt[k] = imA + imB + iiA * rtA * rtA + iiB * rtB * rtB
+        k12 = (imA + imB + iiA * rn[0][0] * rn[1][0]
+               + iiB * rn[0][1] * rn[1][1])
+        det = kn[0] * kn[1] - k12 * k12
+        cond = kn[0] * kn[0] < 1000.0 * det
+        both = m['t1'] & m['t2']
+        p_k12[q] = k12
+        p_blk[q] = both & cond
+        degrade = both & ~cond
+        vtch = [m['t1'], m['t2'] & ~degrade]
+        for k in range(2):
+          s = 2 * q + k
+          p_vtch[s] = vtch[k]
+          pcn[s] = jnp.where(vtch[k], pcn[s], 0.0)
+          pct[s] = jnp.where(vtch[k], pct[s], 0.0)
+          p_k[s] = kn[k]
+          p_nm[s] = jnp.where(vtch[k], 1.0 / jnp.maximum(kn[k], 1e-12), 0.0)
+          p_tm[s] = jnp.where(vtch[k], 1.0 / jnp.maximum(kt[k], 1e-12), 0.0)
+          dvx = (vx[b] - om[b] * p_rBy[s]) - (vx[a] - om[a] * p_rAy[s])
+          dvy = (vy[b] + om[b] * p_rBx[s]) - (vy[a] + om[a] * p_rAx[s])
+          vn0 = dvx * nxv + dvy * nyv
+          p_bias[s] = jnp.where(vn0 < -VELOCITY_THRESHOLD,
+                                -pd['rest'] * vn0, 0.0)
+
       # ---- joints presolve ----------------------------------------------
       j_rAx = [None] * jn_pad
       j_rAy = [None] * jn_pad
@@ -408,7 +784,7 @@ def _build_kernel(spec: WorldSpec, T: int):
 
       # ---- 5. warm start ------------------------------------------------
       for i in range(n):
-        im, ii = inv_m[i], inv_i[i]
+        im, ii = imv[i], iiv[i]
         for wi in range(nw):
           nx, ny = wall_n[wi]
           tx, ty = ny, -nx
@@ -419,6 +795,25 @@ def _build_kernel(spec: WorldSpec, T: int):
             vx[i] = vx[i] + im * Px
             vy[i] = vy[i] + im * Py
             om[i] = om[i] + ii * (w_rBx[s] * Py - w_rBy[s] * Px)
+      for q, pd in enumerate(pairs):
+        a, b = pd['a'], pd['b']
+        m = pman[q]
+        nxv, nyv = m['nx'], m['ny']
+        txv, tyv = nyv, -nxv
+        s1, s2 = 2 * q, 2 * q + 1
+        P1x = pcn[s1] * nxv + pct[s1] * txv
+        P1y = pcn[s1] * nyv + pct[s1] * tyv
+        P2x = pcn[s2] * nxv + pct[s2] * txv
+        P2y = pcn[s2] * nyv + pct[s2] * tyv
+        Psx, Psy = P1x + P2x, P1y + P2y
+        vx[a] = vx[a] - imv[a] * Psx
+        vy[a] = vy[a] - imv[a] * Psy
+        vx[b] = vx[b] + imv[b] * Psx
+        vy[b] = vy[b] + imv[b] * Psy
+        om[a] = om[a] - iiv[a] * ((p_rAx[s1] * P1y - p_rAy[s1] * P1x)
+                                  + (p_rAx[s2] * P2y - p_rAy[s2] * P2x))
+        om[b] = om[b] + iiv[b] * ((p_rBx[s1] * P1y - p_rBy[s1] * P1x)
+                                  + (p_rBx[s2] * P2y - p_rBy[s2] * P2x))
       for jd in joints:
         j, pa, ch = jd['j'], jd['pa'], jd['ch']
         ax_imp = jmot[j] + jlim[j]
@@ -434,7 +829,7 @@ def _build_kernel(spec: WorldSpec, T: int):
       # ---- 6. velocity iterations (fori: trace the body once — a python
       # unroll here made XLA/Mosaic compiles pathologically slow) ----------
       def vel_body(_, vcarry):
-        vx, vy, om, wcn, wct, jix, jiy, jmot, jlim = \
+        vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct = \
             [list(x) for x in vcarry]
         # joints (motor, limit, 2x2 point)
         for jd in joints:
@@ -476,7 +871,7 @@ def _build_kernel(spec: WorldSpec, T: int):
           nx, ny = wall_n[wi]
           tx, ty = ny, -nx
           for i in range(n):
-            im, ii = inv_m[i], inv_i[i]
+            im, ii = imv[i], iiv[i]
             for k in range(2):
               s = wslot(i, wi, k)
               vt = _cadd2(
@@ -536,14 +931,90 @@ def _build_kernel(spec: WorldSpec, T: int):
                 + _csub2(_cmul(ny, w_rBx[s2]), _cmul(nx, w_rBy[s2])) * d2)
             wcn[s1] = a1 + d1
             wcn[s2] = a2 + d2
+        # pair contacts (mirrors physics.velocity_solve pair_pass): friction
+        # at both points from the post-friction state, then the normal pair
+        # as sequential candidates vs the 2x2 block LCP
+        for q, pd in enumerate(pairs):
+          a, b = pd['a'], pd['b']
+          m = pman[q]
+          imA, iiA = imv[a], iiv[a]
+          imB, iiB = imv[b], iiv[b]
+          nxv, nyv = m['nx'], m['ny']
+          txv, tyv = nyv, -nxv
+          for k in range(2):    # friction, both points
+            s = 2 * q + k
+            dvx = (vx[b] - om[b] * p_rBy[s]) - (vx[a] - om[a] * p_rAy[s])
+            dvy = (vy[b] + om[b] * p_rBx[s]) - (vy[a] + om[a] * p_rAx[s])
+            vt = dvx * txv + dvy * tyv
+            lam = -p_tm[s] * vt
+            maxf = pd['mu'] * pcn[s]
+            new = jnp.clip(pct[s] + lam, -maxf, maxf)
+            d = new - pct[s]
+            pct[s] = new
+            Px, Py = d * txv, d * tyv
+            vx[a] = vx[a] - imA * Px
+            vy[a] = vy[a] - imA * Py
+            vx[b] = vx[b] + imB * Px
+            vy[b] = vy[b] + imB * Py
+            om[a] = om[a] - iiA * (p_rAx[s] * Py - p_rAy[s] * Px)
+            om[b] = om[b] + iiB * (p_rBx[s] * Py - p_rBy[s] * Px)
+          s1, s2 = 2 * q, 2 * q + 1
+          a1, a2 = pcn[s1], pcn[s2]
+          # sequential candidate (virtual application in order)
+          vxa, vya, oma = vx[a], vy[a], om[a]
+          vxb, vyb, omb = vx[b], vy[b], om[b]
+          d_seq = []
+          for k, s in enumerate((s1, s2)):
+            dvx = (vxb - omb * p_rBy[s]) - (vxa - oma * p_rAy[s])
+            dvy = (vyb + omb * p_rBx[s]) - (vya + oma * p_rAx[s])
+            vn = dvx * nxv + dvy * nyv
+            lam = -p_nm[s] * (vn - p_bias[s])
+            acc = (a1, a2)[k]
+            new = jnp.maximum(acc + lam, 0.0)
+            dk = new - acc
+            d_seq.append(dk)
+            Px, Py = dk * nxv, dk * nyv
+            vxa = vxa - imA * Px
+            vya = vya - imA * Py
+            vxb = vxb + imB * Px
+            vyb = vyb + imB * Py
+            oma = oma - iiA * (p_rAx[s] * Py - p_rAy[s] * Px)
+            omb = omb + iiB * (p_rBx[s] * Py - p_rBy[s] * Px)
+          # block candidate from the pre-normal state
+          dv1x = (vx[b] - om[b] * p_rBy[s1]) - (vx[a] - om[a] * p_rAy[s1])
+          dv1y = (vy[b] + om[b] * p_rBx[s1]) - (vy[a] + om[a] * p_rAx[s1])
+          dv2x = (vx[b] - om[b] * p_rBy[s2]) - (vx[a] - om[a] * p_rAy[s2])
+          dv2y = (vy[b] + om[b] * p_rBx[s2]) - (vy[a] + om[a] * p_rAx[s2])
+          vn1 = dv1x * nxv + dv1y * nyv
+          vn2 = dv2x * nxv + dv2y * nyv
+          d1b, d2b = _block_lcp(vn1 - p_bias[s1], vn2 - p_bias[s2], a1, a2,
+                                p_k[s1], p_k[s2], p_k12[q],
+                                p_nm[s1], p_nm[s2])
+          blk = p_blk[q]
+          d1 = jnp.where(blk, d1b, d_seq[0])
+          d2 = jnp.where(blk, d2b, d_seq[1])
+          Psx = (d1 + d2) * nxv
+          Psy = (d1 + d2) * nyv
+          vx[a] = vx[a] - imA * Psx
+          vy[a] = vy[a] - imA * Psy
+          vx[b] = vx[b] + imB * Psx
+          vy[b] = vy[b] + imB * Psy
+          dwA = ((p_rAx[s1] * nyv - p_rAy[s1] * nxv) * d1
+                 + (p_rAx[s2] * nyv - p_rAy[s2] * nxv) * d2)
+          dwB = ((p_rBx[s1] * nyv - p_rBy[s1] * nxv) * d1
+                 + (p_rBx[s2] * nyv - p_rBy[s2] * nxv) * d2)
+          om[a] = om[a] - iiA * dwA
+          om[b] = om[b] + iiB * dwB
+          pcn[s1] = a1 + d1
+          pcn[s2] = a2 + d2
         return tuple(tuple(x) for x in
-                     (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim))
+                     (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct))
 
       vcarry = jax.lax.fori_loop(
           0, vel_iters, vel_body,
           tuple(tuple(x) for x in
-                (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim)))
-      vx, vy, om, wcn, wct, jix, jiy, jmot, jlim = \
+                (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct)))
+      vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct = \
           [list(x) for x in vcarry]
 
 
@@ -569,14 +1040,14 @@ def _build_kernel(spec: WorldSpec, T: int):
           nx, ny = wall_n[wi]
           off = wall_off[wi]
           for i in range(n):
-            im, ii = inv_m[i], inv_i[i]
+            im, ii = imv[i], iiv[i]
             ca_, sa_ = jnp.cos(aa[i]), jnp.sin(aa[i])
             s = wslot(i, wi, k)
             ptx = cx[i] + ca_ * m_lpx[s] - sa_ * m_lpy[s]
             pty = cy[i] + sa_ * m_lpx[s] + ca_ * m_lpy[s]
-            sep = _csubc(_csubc(
-                _cadd2(_cmul(nx, ptx), _cmul(ny, pty)), off),
-                rad_sub[i][wi])
+            rs_ = rad_sub[i][wi]   # Python float, or a tile (RANDOM body)
+            base = _csubc(_cadd2(_cmul(nx, ptx), _cmul(ny, pty)), off)
+            sep = _csubc(base, rs_) if isinstance(rs_, float) else base - rs_
             minsep = jnp.minimum(minsep, jnp.where(m_tch[s], sep, 0.0))
             C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP),
                          -MAX_LINEAR_CORRECTION, 0.0)
@@ -589,6 +1060,92 @@ def _build_kernel(spec: WorldSpec, T: int):
             if ny != 0.0:
               cy[i] = cy[i] + _cmul(ny, im * imp)
             aa[i] = aa[i] + ii * crn * imp
+        # pair contacts (mirrors physics._position_solve one_pair_slot):
+        # recompute the manifold point from body-local data at the CURRENT
+        # poses, per reachable manifold type, then a 1-point NGS correction
+        for q, pd in enumerate(pairs):
+          a, b = pd['a'], pd['b']
+          m = pman[q]
+          imA, iiA = imv[a], iiv[a]
+          imB, iiB = imv[b], iiv[b]
+          ka, kb = kind[a], kind[b]
+          mts = set()
+          if ka != POLY and kb != POLY:
+            mts.add(0)
+          if ka != CIRCLE:
+            mts.add(1)
+          if kb != CIRCLE:
+            mts.add(2)
+          for k in range(2):
+            lkx = (m['l1x'], m['l2x'])[k]
+            lky = (m['l1y'], m['l2y'])[k]
+            tch = (m['t1'], m['t2'])[k]
+            caA, saA = jnp.cos(aa[a]), jnp.sin(aa[a])
+            caB, saB = jnp.cos(aa[b]), jnp.sin(aa[b])
+            nxv = nyv = ptx = pty = sep = None
+            if 0 in mts:     # circle-circle
+              pB0x = cx[b] + caB * m['l1x'] - saB * m['l1y']
+              pB0y = cy[b] + saB * m['l1x'] + caB * m['l1y']
+              d0x, d0y = pB0x - cx[a], pB0y - cy[a]
+              dist0 = jnp.sqrt(d0x * d0x + d0y * d0y)
+              okd = dist0 > 1e-9
+              inv0 = 1.0 / jnp.maximum(dist0, 1e-9)
+              n0x = jnp.where(okd, d0x * inv0, 0.0)
+              n0y = jnp.where(okd, d0y * inv0, 1.0)
+              nxv, nyv = n0x, n0y
+              sep = dist0 - m['rs']
+              ptx = 0.5 * (cx[a] + pB0x)
+              pty = 0.5 * (cy[a] + pB0y)
+            if 1 in mts:     # faceA (owner a)
+              nf1x = caA * m['lnx'] - saA * m['lny']
+              nf1y = saA * m['lnx'] + caA * m['lny']
+              pl1x = cx[a] + caA * m['lppx'] - saA * m['lppy']
+              pl1y = cy[a] + saA * m['lppx'] + caA * m['lppy']
+              cl1x = cx[b] + caB * lkx - saB * lky
+              cl1y = cy[b] + saB * lkx + caB * lky
+              sep1 = ((cl1x - pl1x) * nf1x + (cl1y - pl1y) * nf1y) - m['rs']
+              if nxv is None:
+                nxv, nyv, ptx, pty, sep = nf1x, nf1y, cl1x, cl1y, sep1
+              else:
+                mt1 = m['mt'] == 1.0
+                nxv = jnp.where(mt1, nf1x, nxv)
+                nyv = jnp.where(mt1, nf1y, nyv)
+                ptx = jnp.where(mt1, cl1x, ptx)
+                pty = jnp.where(mt1, cl1y, pty)
+                sep = jnp.where(mt1, sep1, sep)
+            if 2 in mts:     # faceB (owner b)
+              nf2x = caB * m['lnx'] - saB * m['lny']
+              nf2y = saB * m['lnx'] + caB * m['lny']
+              pl2x = cx[b] + caB * m['lppx'] - saB * m['lppy']
+              pl2y = cy[b] + saB * m['lppx'] + caB * m['lppy']
+              cl2x = cx[a] + caA * lkx - saA * lky
+              cl2y = cy[a] + saA * lkx + caA * lky
+              sep2 = ((cl2x - pl2x) * nf2x + (cl2y - pl2y) * nf2y) - m['rs']
+              if nxv is None:
+                nxv, nyv, ptx, pty, sep = -nf2x, -nf2y, cl2x, cl2y, sep2
+              else:
+                mt2 = m['mt'] == 2.0
+                nxv = jnp.where(mt2, -nf2x, nxv)
+                nyv = jnp.where(mt2, -nf2y, nyv)
+                ptx = jnp.where(mt2, cl2x, ptx)
+                pty = jnp.where(mt2, cl2y, pty)
+                sep = jnp.where(mt2, sep2, sep)
+            minsep = jnp.minimum(minsep, jnp.where(tch, sep, 0.0))
+            C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP),
+                         -MAX_LINEAR_CORRECTION, 0.0)
+            rAx, rAy = ptx - cx[a], pty - cy[a]
+            rBx, rBy = ptx - cx[b], pty - cy[b]
+            crnA = rAx * nyv - rAy * nxv
+            crnB = rBx * nyv - rBy * nxv
+            kn = imA + imB + iiA * crnA * crnA + iiB * crnB * crnB
+            imp = jnp.where(tch, -C / jnp.maximum(kn, 1e-12), 0.0)
+            Px, Py = imp * nxv, imp * nyv
+            cx[a] = cx[a] - imA * Px
+            cy[a] = cy[a] - imA * Py
+            cx[b] = cx[b] + imB * Px
+            cy[b] = cy[b] + imB * Py
+            aa[a] = aa[a] - iiA * (rAx * Py - rAy * Px)
+            aa[b] = aa[b] + iiB * (rBx * Py - rBy * Px)
         for jd in joints:
           j, pa, ch = jd['j'], jd['pa'], jd['ch']
           iA, iB, mA, mB = jd['iA'], jd['iB'], jd['mA'], jd['mB']
@@ -646,7 +1203,7 @@ def _build_kernel(spec: WorldSpec, T: int):
            jnp.zeros_like(cx[0])))
       cx, cy, aa = list(cx), list(cy), list(aa)
 
-      # ---- 9. sleeping (static islands: joint graph, no pairs) ----------
+      # ---- 9. sleeping ---------------------------------------------------
       if allow_sleep:
         forced = [jnp.zeros_like(slp[i]) > 1.0 for i in range(n)]
         for jd in joints:
@@ -657,28 +1214,66 @@ def _build_kernel(spec: WorldSpec, T: int):
           slow = ((vx[i] * vx[i] + vy[i] * vy[i] <= LIN_SLEEP_TOL_SQ)
                   & (om[i] * om[i] <= float(ANG_SLEEP_TOL_SQ)))
           slp[i] = jnp.where(slow & ~forced[i], slp[i] + dt, 0.0)
-        for isl in islands:
-          mn = slp[isl[0]]
-          for i in isl[1:]:
-            mn = jnp.minimum(mn, slp[i])
-          asleep = mn >= TIME_TO_SLEEP
-          for i in isl:
-            vx[i] = jnp.where(asleep, 0.0, vx[i])
-            vy[i] = jnp.where(asleep, 0.0, vy[i])
-            om[i] = jnp.where(asleep, 0.0, om[i])
-            cx[i] = jnp.where(asleep, cx0[i], cx[i])
-            cy[i] = jnp.where(asleep, cy0[i], cy[i])
-            aa[i] = jnp.where(asleep, aa0[i], aa[i])
+        if islands is not None:
+          # static islands (joint graph only — exact when no pairs)
+          sleep_mask = [None] * n
+          for isl in islands:
+            mn = slp[isl[0]]
+            for i in isl[1:]:
+              mn = jnp.minimum(mn, slp[i])
+            asleep = mn >= TIME_TO_SLEEP
+            for i in isl:
+              sleep_mask[i] = asleep
+        else:
+          # dynamic islands: joints + touching pairs merge bodies. Same
+          # one-hop min-label propagation count as physics._finalize so the
+          # two paths agree even where the propagation under-converges.
+          tch_any = [pman[q]['t1'] | pman[q]['t2'] for q in range(len(pairs))]
+          lab = [jnp.zeros_like(slp[i]) + float(i) for i in range(n)]
+          for _ in range(label_iters):
+            nl = list(lab)
+            for (pa_, ch_) in joint_edges:
+              nl[pa_] = jnp.minimum(nl[pa_], lab[ch_])
+              nl[ch_] = jnp.minimum(nl[ch_], lab[pa_])
+            for q, pd in enumerate(pairs):
+              a, b = pd['a'], pd['b']
+              nl[a] = jnp.minimum(nl[a], jnp.where(tch_any[q], lab[b], BIG))
+              nl[b] = jnp.minimum(nl[b], jnp.where(tch_any[q], lab[a], BIG))
+            lab = nl
+          sleep_mask = []
+          for i in range(n):
+            mn = slp[i]
+            for j2 in range(n):
+              if j2 == i:
+                continue
+              mn = jnp.minimum(mn, jnp.where(lab[j2] == lab[i], slp[j2], BIG))
+            sleep_mask.append(mn >= TIME_TO_SLEEP)
+        for i in range(n):
+          asleep = sleep_mask[i]
+          vx[i] = jnp.where(asleep, 0.0, vx[i])
+          vy[i] = jnp.where(asleep, 0.0, vy[i])
+          om[i] = jnp.where(asleep, 0.0, om[i])
+          cx[i] = jnp.where(asleep, cx0[i], cx[i])
+          cy[i] = jnp.where(asleep, cy0[i], cy[i])
+          aa[i] = jnp.where(asleep, aa0[i], aa[i])
 
       # ---- 10. warm-start cache writeback -------------------------------
       for s in range(n * nw * 2):
         wcn[s] = jnp.where(m_tch[s], wcn[s], 0.0)
         wct[s] = jnp.where(m_tch[s], wct[s], 0.0)
         wcid[s] = jnp.where(m_tch[s], m_ids[s], -1.0)
+      for q in range(len(pairs)):
+        m = pman[q]
+        for k, (idk, tchk) in enumerate(((m['id1'], m['t1']),
+                                         (m['id2'], m['t2']))):
+          s = 2 * q + k
+          pcn[s] = jnp.where(tchk, pcn[s], 0.0)
+          pct[s] = jnp.where(tchk, pct[s], 0.0)
+          pcid[s] = jnp.where(tchk, idk, -1.0)
 
       return tuple(tuple(x) for x in
                    (cx, cy, aa, vx, vy, om, wcn, wct, wcid, jix, jiy, jmot,
-                    jlim, jstate, slp, pm))
+                    jlim, jstate, slp, pm, pcn, pct, pcid))
 
     def step_body(t, st):
       # motor speeds live in HBM (ANY) like the traj output: a VMEM-blocked
@@ -697,7 +1292,7 @@ def _build_kernel(spec: WorldSpec, T: int):
             else (ms[j] != ms[j])  # False
       st = jax.lax.fori_loop(0, substeps,
                              lambda _, s: substep(s, ms, motor_changed), st)
-      st = st[:15] + (tuple(ms),)
+      st = st[:15] + (tuple(ms),) + st[16:]
       # stream per-step poses for the obs pipeline (velocities are not
       # observed — streaming them doubled the traj VMEM/HBM cost for nothing).
       # The traj output lives in HBM (ANY space): holding a (T, ...) block in
@@ -716,7 +1311,7 @@ def _build_kernel(spec: WorldSpec, T: int):
 
     st = jax.lax.fori_loop(0, T, step_body, state0)
     (cx, cy, aa, vx, vy, om, wcn, wct, wcid, jix, jiy, jmot, jlim, jstate,
-     slp, pm) = st
+     slp, pm, pcn, pct, pcid) = st
     for i in range(n):
       c_out[i, 0] = cx[i]
       c_out[i, 1] = cy[i]
@@ -739,6 +1334,21 @@ def _build_kernel(spec: WorldSpec, T: int):
       jl_out[j] = jlim[j]
       js_out[j] = jstate[j]
       pm_out[j] = pm[j]
+    # pair warm-start caches: valid slots from the carry, padding slots get
+    # the jnp path's untouched-slot values (imp 0, id -1)
+    zero = jnp.zeros_like(slp[0])
+    for p in range(P_pad):
+      qs = [q for q, pd in enumerate(pairs) if pd['p'] == p]
+      for k in range(2):
+        if qs:
+          s = 2 * qs[0] + k
+          pci_out[p, k, 0] = pcn[s]
+          pci_out[p, k, 1] = pct[s]
+          pcid_out[p, k] = pcid[s]
+        else:
+          pci_out[p, k, 0] = zero
+          pci_out[p, k, 1] = zero
+          pcid_out[p, k] = zero - 1.0
 
   return kernel
 
@@ -747,7 +1357,7 @@ def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
   """Returns rollout(states, motor_speed) -> (states', traj) where
   motor_speed is (T, B, J) and traj is a dict of (T, B, ...) pose arrays.
   states is a batched WorldState (leading worlds axis)."""
-  assert supports(spec), 'megakernel v1: pairless fixed-shape envs only'
+  assert supports(spec), 'megakernel: unsupported spec (see supports())'
   kernel = _build_kernel(spec, T)
   n = spec.n
   nw = len(spec.wall_offset)
@@ -767,7 +1377,8 @@ def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
            prep(states.wc_imp), prep(states.wc_id), prep(states.j_imp),
            prep(states.j_mot), prep(states.j_lim), prep(states.j_state),
            prep(states.j_ref), prep(states.sleep_time),
-           prep(states.prev_motor),
+           prep(states.prev_motor), prep(states.pc_imp), prep(states.pc_id),
+           prep(states.is_circle),
            _to_tiles(motor_speed.astype(jnp.float32).transpose(1, 0, 2), B)]
 
     grid = (B // BLOCK,)
@@ -792,6 +1403,8 @@ def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
         jax.ShapeDtypeStruct(ins[9].shape, jnp.float32),   # j_state
         jax.ShapeDtypeStruct(ins[11].shape, jnp.float32),  # sleep_time
         jax.ShapeDtypeStruct(ins[12].shape, jnp.float32),  # prev_motor
+        jax.ShapeDtypeStruct(ins[13].shape, jnp.float32),  # pc_imp
+        jax.ShapeDtypeStruct(ins[14].shape, jnp.float32),  # pc_id
         jax.ShapeDtypeStruct((T, n, 3, B // LANE, LANE), jnp.float32),  # traj
     ]
     # traj stays in HBM (ANY) and is filled by per-step DMA from a staging
@@ -818,7 +1431,7 @@ def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
         ],
         interpret=interpret,
     )(*ins)
-    (c, a, v, w, wci, wcid, ji, jm, jl, js, slp, pm, tr) = outs
+    (c, a, v, w, wci, wcid, ji, jm, jl, js, slp, pm, pci, pcid, tr) = outs
     new_states = states._replace(
         c=_from_tiles(c, B), a=_from_tiles(a, B), v=_from_tiles(v, B),
         w=_from_tiles(w, B),
@@ -829,6 +1442,8 @@ def make_rollout(spec: WorldSpec, T: int, interpret: bool = False):
         j_state=_from_tiles(js, B).astype(states.j_state.dtype),
         sleep_time=_from_tiles(slp, B),
         prev_motor=_from_tiles(pm, B),
+        pc_imp=_from_tiles(pci, B),
+        pc_id=_from_tiles(pcid, B).astype(states.pc_id.dtype),
         ep_t=states.ep_t + T)
     # traj tiles (T, n, 3, B/128, 128) -> (T, B, n, 3); 'tiles' exposes the
     # raw tile layout for consumers that avoid the transpose entirely

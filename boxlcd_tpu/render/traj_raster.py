@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from boxlcd_tpu.engine.spec import CIRCLE, POLY, WorldSpec
+from boxlcd_tpu.engine.spec import CIRCLE, POLY, RANDOM, WorldSpec
 from boxlcd_tpu.render import raster
 from boxlcd_tpu.render.raster import _f32, _muladd
 
@@ -52,8 +52,8 @@ _CACHE = {}
 
 
 def supports(spec: WorldSpec) -> bool:
-  """Fixed shapes only (same gate as engine/mega.py) and W <= 32."""
-  return all(int(s) in (CIRCLE, POLY) for s in spec.shape_static)
+  """All shapes incl. per-episode RANDOM (is_circle enters as tiles)."""
+  return all(int(s) in (CIRCLE, POLY, RANDOM) for s in spec.shape_static)
 
 
 def make_traj_render(spec: WorldSpec, width: int, height: int, T: int,
@@ -121,7 +121,7 @@ def _circle_fill_static(tblbits_np, cx, cy, r, s, combos, rows, height,
 
 def _build(spec: WorldSpec, width: int, height: int, T: int,
            interpret: bool):
-  assert supports(spec), 'traj raster: fixed-shape envs only'
+  assert supports(spec), 'traj raster: unsupported spec'
   _, tblbits = raster._tables(spec, width, height)
   assert tblbits is not None and width <= 32, \
       'traj raster requires the uint32 row-bitmask layout (W <= 32)'
@@ -131,8 +131,11 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
   H = height
   s = float(width / spec.width)
   s32 = np.float32(s)
-  poly = [b for b in range(n) if int(spec.shape_static[b]) == POLY]
-  circ = [b for b in range(n) if int(spec.shape_static[b]) == CIRCLE]
+  # RANDOM bodies render BOTH variants and select per world by is_circle
+  # (mirrors raster._body_fills' jnp.where dispatch)
+  poly = [b for b in range(n) if int(spec.shape_static[b]) != CIRCLE]
+  circ = [b for b in range(n) if int(spec.shape_static[b]) != POLY]
+  rand = [b for b in range(n) if int(spec.shape_static[b]) == RANDOM]
   nv_list = {b: int(spec.nverts[b]) for b in poly}
   dv = {b: np.asarray(spec.draw_verts[b, :nv_list[b]], np.float32)
         for b in poly}
@@ -144,7 +147,11 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
   full = np.uint32(0xFFFFFFFF if width >= 32 else (1 << width) - 1)
 
   def make_kernel(sub):
-    def kernel(cx_ref, cy_ref, ca_ref, sa_ref, out_ref):
+    def kernel(cx_ref, cy_ref, ca_ref, sa_ref, *rest):
+      if rand:
+        isc_ref, out_ref = rest
+      else:
+        (out_ref,) = rest
       # flipped row space + in-kernel invert, same rationale as
       # pallas_raster.kernel: a runtime [::-1] sublane reverse fused with the
       # bit unpack miscompiles at large batch on the real chip (round-3)
@@ -155,8 +162,10 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
       # loop: whole-(T, ...) VMEM blocks capped T at ~50 under the 16M
       # scoped limit; per-t blocks stream through double-buffered DMA)
       mask = jnp.zeros((H, sub, LANE), jnp.uint32)
+      cfill = {}
+      pfill = {}
       for b in circ:
-        mask = mask | _circle_fill_static(
+        cfill[b] = _circle_fill_static(
             tblbits_np, cx_ref[0, b], cy_ref[0, b], radius[b], s32,
             combos[b], rows, H, width)
       for b in poly:
@@ -174,14 +183,22 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
           wy = _f32(_muladd(sa, dvx, _f32(ca * dvy))) + oy
           ivx.append(jnp.trunc(wx * s32).astype(jnp.int32))
           ivy.append(jnp.trunc(wy * s32).astype(jnp.int32))
-        mask = mask | raster._poly_fill(ivx, ivy, nv_list[b], H, width,
-                                        rows=rows)
+        pfill[b] = raster._poly_fill(ivx, ivy, nv_list[b], H, width,
+                                     rows=rows)
+      for b in range(n):
+        if b in cfill and b in pfill:     # RANDOM: select per world
+          isc = isc_ref[b] > 0.5         # (sub, LANE)
+          fill = jnp.where(isc[None], cfill[b], pfill[b])
+        else:
+          fill = cfill.get(b, pfill.get(b))
+        mask = mask | fill
       out_ref[0] = mask ^ full
     return kernel
 
-  def render_rows(tr):
+  def render_rows(tr, isc=None):
     """tr: (T, n, >=3, B/128, 128) f32 megakernel pose tiles ->
-    (T, H, B/128, 128) uint32 PIL-order row bitmasks."""
+    (T, H, B/128, 128) uint32 PIL-order row bitmasks. isc: (B, n) bool
+    per-episode shape flags, required when the spec has RANDOM bodies."""
     Tt, nn, six, G, L = tr.shape
     assert (Tt, nn, L) == (T, n, LANE) and six >= 3, (tr.shape, T, n)
     cx, cy, ang = tr[:, :, 0], tr[:, :, 1], tr[:, :, 2]   # (T, n, G, L)
@@ -194,15 +211,24 @@ def _build(spec: WorldSpec, width: int, height: int, T: int,
     sub = next(s for s in (32, 16, 8, 4, 2, 1) if G % s == 0)
     blk = lambda: pl.BlockSpec((1, n, sub, LANE), lambda g, t: (t, 0, g, 0),
                                memory_space=pltpu.VMEM)
+    in_specs = [blk(), blk(), blk(), blk()]
+    ins = [cx, cy, ca, sa]
+    if rand:
+      assert isc is not None, 'traj raster: RANDOM shapes need is_circle'
+      # (B, n) -> (n, G, L) f32 tiles, constant over T
+      isct = jnp.moveaxis(isc.astype(jnp.float32), 0, -1).reshape(n, G, L)
+      in_specs.append(pl.BlockSpec((n, sub, LANE), lambda g, t: (0, g, 0),
+                                   memory_space=pltpu.VMEM))
+      ins.append(isct)
     out = pl.pallas_call(
         make_kernel(sub),
         grid=(G // sub, T),
-        in_specs=[blk(), blk(), blk(), blk()],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, sub, LANE), lambda g, t: (t, 0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, H, G, LANE), jnp.uint32),
         interpret=interpret,
-    )(cx, cy, ca, sa)
+    )(*ins)
     return out
 
   return render_rows

@@ -16,15 +16,39 @@ from boxlcd_tpu.engine import mega, physics
 from boxlcd_tpu.envs.env import Env
 
 FIELDS = ['c', 'a', 'v', 'w', 'sleep_time', 'wc_imp', 'j_imp', 'j_mot',
-          'j_lim', 'j_state', 'prev_motor']
+          'j_lim', 'j_state', 'prev_motor', 'pc_imp', 'pc_id']
 
 
-@pytest.mark.parametrize('env_name', ['Urchin', 'Luxo'])
+# Urchin/Luxo cover the pairless-robot (v1) path; v2 adds body-body contact
+# pairs (LuxoCube poly-poly + robot, Bounce2 circle-circle, UrchinBall
+# mixed circle/poly + robot) and per-episode RANDOM shapes (Object3).
+#
+# Per-env bounds (median, tail threshold, tail fraction, min sleep rate):
+# bouncy object envs are chaotic at T=34 — the jnp path vs ITSELF with a
+# single 1e-7 perturbation at t=0 diverges to median 4e-5 / p90 2.4e-3 /
+# 6.7% tail>5e-3 on Object3 (restitution 0.8, pair contacts rotate the
+# contact normal, SAT face choice is discrete), and the kernel injects
+# fresh op-order noise every step. Bounds there are the measured chaos
+# floor with ~2x headroom; robots keep the tight v1 bounds. Bounce2/Object3
+# never settle (2-3% sleepers), so the sleep-engagement premise only
+# applies to envs that do.
+BOUNDS = {
+    'Urchin': (1e-4, 5e-3, 0.03, 0.2),
+    'Luxo': (1e-4, 5e-3, 0.03, 0.2),
+    'LuxoCube': (1e-4, 5e-3, 0.03, 0.2),
+    'UrchinBall': (1e-4, 5e-3, 0.03, 0.2),
+    'Bounce2': (1e-4, 5e-3, 0.03, None),
+    'Object3': (1.5e-3, 5e-2, 0.2, None),
+}
+
+
+@pytest.mark.parametrize('env_name', list(BOUNDS))
 def test_mega_rollout_matches_step_world_batch(env_name):
+  med_bound, tail_at, tail_frac, sleep_min = BOUNDS[env_name]
   env = boxlcd_tpu.env_map[env_name]()
   spec = env.spec
   if not mega.supports(spec):
-    pytest.skip('megakernel v1 does not support this env')
+    pytest.skip('megakernel does not support this env')
   B = mega.BLOCK
   keys = jax.random.split(jax.random.PRNGKey(0), B)
   states = jax.jit(jax.vmap(lambda k: Env.reset(env, k)))(keys)
@@ -62,18 +86,20 @@ def test_mega_rollout_matches_step_world_batch(env_name):
     r = np.asarray(getattr(ref, f), np.float32)
     m = np.asarray(getattr(new_states, f), np.float32)
     err = np.abs(r - m).reshape(B, -1).max(axis=1)   # per-world
-    assert np.median(err) < 1e-4, f'{f} median mismatch {np.median(err)}'
-    assert (err > 5e-3).mean() < 0.03, f'{f} tail {(err > 5e-3).mean()}'
+    assert np.median(err) < med_bound, f'{f} median mismatch {np.median(err)}'
+    assert (err > tail_at).mean() < tail_frac, \
+        f'{f} tail {(err > tail_at).mean()}'
   # pre-chaos steps must match tightly everywhere
   for t in (0, 2):
     rc, ra = ref_traj[t]
     assert np.abs(np.asarray(traj['c'][t]) - rc).max() < 1e-4, f'traj c @{t}'
     assert np.abs(np.asarray(traj['a'][t]) - ra).max() < 1e-4, f'traj a @{t}'
-  # sleeping must engage (and at the same rate) for the island path to count
-  # as covered
+  # sleeping must engage at the same rate; the engagement premise only
+  # holds for envs that settle (bouncy object envs stay awake)
   f_ref = (np.asarray(ref.sleep_time) > 0).mean()
   f_mega = (np.asarray(new_states.sleep_time) > 0).mean()
-  assert f_ref > 0.2
+  if sleep_min is not None:
+    assert f_ref > sleep_min
   assert abs(f_ref - f_mega) < 0.02, (f_ref, f_mega)
 
 

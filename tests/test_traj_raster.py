@@ -17,7 +17,7 @@ def _tiles(x, B):
   return np.moveaxis(x, 1, -1).reshape(T, *s, B // 128, 128)
 
 
-@pytest.mark.parametrize('env_name', ['Urchin', 'Luxo'])
+@pytest.mark.parametrize('env_name', ['Urchin', 'Luxo', 'Object3'])
 def test_traj_raster_matches_lcd_render(env_name):
   env = boxlcd_tpu.env_map[env_name]()
   spec = env.spec
@@ -32,6 +32,11 @@ def test_traj_raster_matches_lcd_render(env_name):
                 rng.uniform(-1, spec.height + 1, (T, B, n))],
                -1).astype(np.float32)
   a = rng.uniform(-np.pi, np.pi, (T, B, n)).astype(np.float32)
+  # per-episode shape flags: random for RANDOM bodies (Object3), static else
+  from boxlcd_tpu.engine.spec import RANDOM
+  ic_b = np.where(np.asarray(spec.shape_static)[None] == RANDOM,
+                  rng.rand(B, n) < 0.5,
+                  np.asarray(spec.shape_static)[None] == 0)
 
   tr = np.zeros((T, n, 6, B // 128, 128), np.float32)
   tr[:, :, 0] = _tiles(c[..., 0], B)
@@ -39,10 +44,10 @@ def test_traj_raster_matches_lcd_render(env_name):
   tr[:, :, 2] = _tiles(a, B)
 
   render = traj_raster.make_traj_render(spec, W, H, T, interpret=True)
-  rows = render(jnp.asarray(tr))
+  rows = render(jnp.asarray(tr), jnp.asarray(ic_b))
   got = np.asarray(traj_raster.rows_to_lcd(rows, W))        # (T, B, H, W)
 
-  ic = jnp.broadcast_to(jnp.asarray(spec.shape_static == 0), (T * B, n))
+  ic = jnp.broadcast_to(jnp.asarray(ic_b)[None], (T, B, n)).reshape(T * B, n)
   exp = jax.vmap(lambda icr, cr, ar: raster.lcd_render(
       spec, icr, cr, ar, W, H))(
           ic, jnp.asarray(c.reshape(T * B, n, 2)),
