@@ -12,6 +12,9 @@ Env vars:
   BENCH_WORLDS / BENCH_STEPS   batch size / scan length
   BENCH_ENV                    env name (default Urchin)
   BENCH_ITERS=ref              run at the reference's 180/60 solver iterations
+  BENCH_EXIT_TOL=1e-4          solver convergence exit (spec.solver_exit_tol):
+                               the matched-iterations throughput lever;
+                               parity-floor-tested in tests/test_parity.py
   BENCH_PALLAS=1               use the fused Pallas substep solver instead
                                of the (default, faster in-scan) XLA solver
   BENCH_MATRIX=1               measure the full {iters}x{solver}x{env} matrix
@@ -57,6 +60,7 @@ def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3):
   from boxlcd_tpu.engine import mega, physics
   env = boxlcd_tpu.env_map[env_name](
       {'vel_iters': vel_iters, 'pos_iters': pos_iters,
+       'solver_exit_tol': float(os.environ.get('BENCH_EXIT_TOL', 0.0)),
        'raster': os.environ.get('BENCH_RASTER', 'exact')})
   spec = env.spec
   if solver_kind == 'auto':
@@ -217,6 +221,8 @@ def main():
       lambda: measure(env_name, vel, pos, solver_kind, B, T),
       label='bench headline', sleep_s=15)
   suffix = '_ref_iters' if ref_iters else ''
+  if float(os.environ.get('BENCH_EXIT_TOL', 0.0)) > 0.0:
+    suffix += '_exit'
   if os.environ.get('BENCH_RASTER', 'exact') != 'exact':
     suffix += '_fastraster'
   print(json.dumps({

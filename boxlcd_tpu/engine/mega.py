@@ -139,6 +139,7 @@ def _build_kernel(spec: WorldSpec, T: int):
   substeps = int(spec.substeps)
   vel_iters = int(spec.vel_iters)
   pos_iters = int(spec.pos_iters)
+  exit_tol = float(getattr(spec, 'solver_exit_tol', 0.0))
   gx, gy = float(spec.gravity[0]), float(spec.gravity[1])
   allow_sleep = bool(spec.allow_sleep)
 
@@ -827,10 +828,14 @@ def _build_kernel(spec: WorldSpec, T: int):
             j_rBx[j] * jiy[j] - j_rBy[j] * jix[j] + ax_imp)
 
       # ---- 6. velocity iterations (fori: trace the body once — a python
-      # unroll here made XLA/Mosaic compiles pathologically slow) ----------
-      def vel_body(_, vcarry):
+      # unroll here made XLA/Mosaic compiles pathologically slow). With
+      # spec.solver_exit_tol > 0 the loop becomes a while with a convergence
+      # exit: dm accumulates the iteration's largest |impulse delta|
+      # elementwise over the worlds tile, reduced to one scalar per trip.
+      def vel_body_core(vcarry):
         vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct = \
             [list(x) for x in vcarry]
+        dm = jnp.zeros_like(vx[0])
         # joints (motor, limit, 2x2 point)
         for jd in joints:
           j, pa, ch = jd['j'], jd['pa'], jd['ch']
@@ -845,6 +850,7 @@ def _build_kernel(spec: WorldSpec, T: int):
             jmot[j] = new
             om[pa] = om[pa] - iA * d
             om[ch] = om[ch] + iB * d
+            dm = jnp.maximum(dm, jnp.abs(d))
           # coupled limit+point solve (b2RevoluteJoint 3x3; _joint_block)
           cdx = vx[ch] - om[ch] * j_rBy[j] - (vx[pa] - om[pa] * j_rAy[j])
           cdy = vy[ch] + om[ch] * j_rBx[j] - (vy[pa] + om[pa] * j_rAx[j])
@@ -866,6 +872,8 @@ def _build_kernel(spec: WorldSpec, T: int):
           vy[ch] = vy[ch] + mB * py
           om[pa] = om[pa] - iA * (j_rAx[j] * py - j_rAy[j] * px + dz)
           om[ch] = om[ch] + iB * (j_rBx[j] * py - j_rBy[j] * px + dz)
+          dm = jnp.maximum(dm, jnp.maximum(
+              jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(dz))))
         # wall contacts: friction both points, then normal block pair
         for wi in range(nw):
           nx, ny = wall_n[wi]
@@ -882,6 +890,7 @@ def _build_kernel(spec: WorldSpec, T: int):
               new = jnp.clip(wct[s] + lam, -maxf, maxf)
               d = new - wct[s]
               wct[s] = new
+              dm = jnp.maximum(dm, jnp.abs(d))
               if tx != 0.0:
                 vx[i] = vx[i] + _cmul(tx, im * d)
               if ty != 0.0:
@@ -931,6 +940,7 @@ def _build_kernel(spec: WorldSpec, T: int):
                 + _csub2(_cmul(ny, w_rBx[s2]), _cmul(nx, w_rBy[s2])) * d2)
             wcn[s1] = a1 + d1
             wcn[s2] = a2 + d2
+            dm = jnp.maximum(dm, jnp.maximum(jnp.abs(d1), jnp.abs(d2)))
         # pair contacts (mirrors physics.velocity_solve pair_pass): friction
         # at both points from the post-friction state, then the normal pair
         # as sequential candidates vs the 2x2 block LCP
@@ -958,6 +968,7 @@ def _build_kernel(spec: WorldSpec, T: int):
             vy[b] = vy[b] + imB * Py
             om[a] = om[a] - iiA * (p_rAx[s] * Py - p_rAy[s] * Px)
             om[b] = om[b] + iiB * (p_rBx[s] * Py - p_rBy[s] * Px)
+            dm = jnp.maximum(dm, jnp.abs(d))
           s1, s2 = 2 * q, 2 * q + 1
           a1, a2 = pcn[s1], pcn[s2]
           # sequential candidate (virtual application in order)
@@ -1007,13 +1018,28 @@ def _build_kernel(spec: WorldSpec, T: int):
           om[b] = om[b] + iiB * dwB
           pcn[s1] = a1 + d1
           pcn[s2] = a2 + d2
-        return tuple(tuple(x) for x in
-                     (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct))
+        out = tuple(tuple(x) for x in
+                    (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct))
+        return out, jnp.max(dm)
 
-      vcarry = jax.lax.fori_loop(
-          0, vel_iters, vel_body,
-          tuple(tuple(x) for x in
-                (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct)))
+      vinit = tuple(tuple(x) for x in
+                    (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct))
+      if exit_tol > 0.0:
+        def w_cond(c):
+          return (c[0] < vel_iters) & (c[1] > exit_tol)
+
+        def w_body(c):
+          out, dmax = vel_body_core(c[2:])
+          return (c[0] + 1, dmax) + out
+
+        fin = jax.lax.while_loop(
+            w_cond, w_body,
+            (jnp.asarray(0, jnp.int32), jnp.asarray(BIG, jnp.float32))
+            + vinit)
+        vcarry = fin[2:]
+      else:
+        vcarry = jax.lax.fori_loop(
+            0, vel_iters, lambda _, c: vel_body_core(c)[0], vinit)
       vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct = \
           [list(x) for x in vcarry]
 
@@ -1197,10 +1223,20 @@ def _build_kernel(spec: WorldSpec, T: int):
         return (tuple(cx), tuple(cy), tuple(aa),
                 jnp.maximum(done_f, okay.astype(jnp.float32)))
 
-      cx, cy, aa, _ = jax.lax.fori_loop(
-          0, pos_iters, pos_body,
-          (tuple(cx), tuple(cy), tuple(aa),
-           jnp.zeros_like(cx[0])))
+      pinit = (tuple(cx), tuple(cy), tuple(aa), jnp.zeros_like(cx[0]))
+      if exit_tol > 0.0:
+        # actually break at Box2D's done condition (bit-identical to the
+        # masked fori: post-done trips are reverted no-ops)
+        def p_cond(c):
+          return (c[0] < pos_iters) & (jnp.min(c[1][3]) < 0.5)
+
+        def p_body(c):
+          return (c[0] + 1, pos_body(None, c[1]))
+
+        _, (cx, cy, aa, _) = jax.lax.while_loop(
+            p_cond, p_body, (jnp.asarray(0, jnp.int32), pinit))
+      else:
+        cx, cy, aa, _ = jax.lax.fori_loop(0, pos_iters, pos_body, pinit)
       cx, cy, aa = list(cx), list(cy), list(aa)
 
       # ---- 9. sleeping ---------------------------------------------------

@@ -283,10 +283,12 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
   max_torque = jnp.asarray(spec.j_torque)
 
   def joint_pass(carry):
-    v, w, j_imp, j_mot, j_lim = carry
+    # `dm` tracks the iteration's largest |impulse delta| for the optional
+    # convergence exit; on the fixed-trip path it is unused and DCE'd.
+    v, w, j_imp, j_mot, j_lim, dm = carry
 
     def one_joint(vw, j):
-      v, w, j_imp, j_mot, j_lim = vw
+      v, w, j_imp, j_mot, j_lim, dm = vw
       pa, ch = j_pa[j], j_ch[j]
       iA, iB, mA, mB = b.j_iA[j], b.j_iB[j], b.j_mA[j], b.j_mB[j]
       rA, rB = b.j_rA[j], b.j_rB[j]
@@ -318,20 +320,22 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
       v = v.at[pa].add(-mA * P).at[ch].add(mB * P)
       w = w.at[pa].add(-iA * (cross_vv(rA, P) + dz))
       w = w.at[ch].add(iB * (cross_vv(rB, P) + dz))
-      return (v, w, j_imp, j_mot, j_lim), None
+      dm = jnp.maximum(dm, jnp.maximum(jnp.abs(d), jnp.maximum(
+          jnp.abs(P).max(), jnp.abs(dz))))
+      return (v, w, j_imp, j_mot, j_lim, dm), None
 
-    (v, w, j_imp, j_mot, j_lim), _ = jax.lax.scan(
-        one_joint, (v, w, j_imp, j_mot, j_lim),
+    (v, w, j_imp, j_mot, j_lim, dm), _ = jax.lax.scan(
+        one_joint, (v, w, j_imp, j_mot, j_lim, dm),
         jnp.arange(len(spec.j_parent)), unroll=False)
-    return v, w, j_imp, j_mot, j_lim
+    return v, w, j_imp, j_mot, j_lim, dm
 
-  def wall_pass(v, w, wc):
+  def wall_pass(v, w, wc, dm):
     # walls touch distinct (body) rows independently: parallel over bodies,
     # sequential over walls; per contact, Box2D order: friction for both
     # points, then the normal constraints as a 2x2 block (or sequentially
     # when the block is inactive) — b2ContactSolver::SolveVelocityConstraints
     def one_wall(carry, wi):
-      v, w, wc = carry
+      v, w, wc, dm = carry
       n = wall_n[wi]
       t = jnp.stack([n[1], -n[0]])
       for k in range(2):  # friction, both points
@@ -346,6 +350,7 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
         P = d[:, None] * t
         v = v + b.inv_m[:, None] * P
         w = w + b.inv_i * cross_vv(rB, P)
+        dm = jnp.maximum(dm, jnp.abs(d).max())
       # normal: sequential candidate deltas (applied virtually in order)
       rB1, rB2 = b.w_rB[:, wi, 0], b.w_rB[:, wi, 1]
       a1, a2 = wc[:, wi, 0, 0], wc[:, wi, 1, 0]
@@ -376,22 +381,23 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
       w = w + b.inv_i * (cross_vv(rB1, d1[:, None] * n)
                          + cross_vv(rB2, d2[:, None] * n))
       wc = wc.at[:, wi, 0, 0].set(a1 + d1).at[:, wi, 1, 0].set(a2 + d2)
-      return (v, w, wc), None
+      dm = jnp.maximum(dm, jnp.maximum(jnp.abs(d1).max(), jnp.abs(d2).max()))
+      return (v, w, wc, dm), None
 
-    (v, w, wc), _ = jax.lax.scan(one_wall, (v, w, wc), jnp.arange(nw),
-                                 unroll=False)
-    return v, w, wc
+    (v, w, wc, dm), _ = jax.lax.scan(one_wall, (v, w, wc, dm),
+                                     jnp.arange(nw), unroll=False)
+    return v, w, wc, dm
 
-  def pair_pass(v, w, pc):
+  def pair_pass(v, w, pc, dm):
     def one_pair(carry, p):
-      v, w, pc = carry
+      v, w, pc, dm = carry
       a, bb = pair_a[p], pair_b[p]
       n = b.p_n[p]
       t = jnp.stack([n[1], -n[0]])
       imA, imB, iA, iB = b.p_imA[p], b.p_imB[p], b.p_iiA[p], b.p_iiB[p]
 
       def one_fric(carry, k):
-        v, w, pc = carry
+        v, w, pc, dm = carry
         rA, rB = b.p_rA[p, k], b.p_rB[p, k]
         dv = v[bb] + cross_sv(w[bb], rB) - v[a] - cross_sv(w[a], rA)
         vt = (dv * t).sum(-1)
@@ -403,10 +409,11 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
         P = d * t
         v = v.at[a].add(-imA * P).at[bb].add(imB * P)
         w = w.at[a].add(-iA * cross_vv(rA, P)).at[bb].add(iB * cross_vv(rB, P))
-        return (v, w, pc), None
+        dm = jnp.maximum(dm, jnp.abs(d))
+        return (v, w, pc, dm), None
 
-      (v, w, pc), _ = jax.lax.scan(one_fric, (v, w, pc), jnp.arange(2),
-                                   unroll=False)
+      (v, w, pc, dm), _ = jax.lax.scan(one_fric, (v, w, pc, dm),
+                                       jnp.arange(2), unroll=False)
 
       # normal: sequential candidate deltas from the post-friction state
       rA1, rB1 = b.p_rA[p, 0], b.p_rB[p, 0]
@@ -441,24 +448,48 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
       dwB = cross_vv(rB1, d1 * n) + cross_vv(rB2, d2 * n)
       w = w.at[a].add(-iA * dw).at[bb].add(iB * dwB)
       pc = pc.at[p, 0, 0].set(a1 + d1).at[p, 1, 0].set(a2 + d2)
-      return (v, w, pc), None
+      dm = jnp.maximum(dm, jnp.maximum(jnp.abs(d1), jnp.abs(d2)))
+      return (v, w, pc, dm), None
 
-    (v, w, pc), _ = jax.lax.scan(one_pair, (v, w, pc),
-                                 jnp.arange(len(spec.pair_a)),
-                                 unroll=False)
-    return v, w, pc
+    (v, w, pc, dm), _ = jax.lax.scan(one_pair, (v, w, pc, dm),
+                                     jnp.arange(len(spec.pair_a)),
+                                     unroll=False)
+    return v, w, pc, dm
 
-  def vel_iter(_, carry):
+  def vel_iter_core(carry):
     v, w, j_imp, j_mot, j_lim, wc, pc = carry
-    v, w, j_imp, j_mot, j_lim = joint_pass((v, w, j_imp, j_mot, j_lim))
-    v, w, wc = wall_pass(v, w, wc)
-    v, w, pc = pair_pass(v, w, pc)
-    return v, w, j_imp, j_mot, j_lim, wc, pc
+    dm = jnp.asarray(0.0, jnp.float32)
+    v, w, j_imp, j_mot, j_lim, dm = joint_pass(
+        (v, w, j_imp, j_mot, j_lim, dm))
+    v, w, wc, dm = wall_pass(v, w, wc, dm)
+    v, w, pc, dm = pair_pass(v, w, pc, dm)
+    return (v, w, j_imp, j_mot, j_lim, wc, pc), dm
 
-  v, w, j_imp, j_mot, j_lim, wc, pc = jax.lax.fori_loop(
-      0, spec.vel_iters, vel_iter,
-      (b.v, b.w, b.j_imp, b.j_mot, b.j_lim, b.wc, b.pc),
-      unroll=1)
+  init = (b.v, b.w, b.j_imp, b.j_mot, b.j_lim, b.wc, b.pc)
+  tol = float(getattr(spec, 'solver_exit_tol', 0.0))
+  if tol > 0.0:
+    # convergence exit: stop once an iteration's largest impulse delta is
+    # below tol (the remaining Box2D trips would move velocities by
+    # < tol * inv_m each — orders below the engine's pybox2d-parity floor)
+    def w_cond(c):
+      return (c[0] < spec.vel_iters) & (c[1] > tol)
+
+    def w_body(c):
+      out, dm = vel_iter_core(c[2:])
+      return (c[0] + 1, dm) + out
+
+    fin = jax.lax.while_loop(
+        w_cond, w_body,
+        (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, jnp.float32))
+        + init)
+    v, w, j_imp, j_mot, j_lim, wc, pc = fin[2:]
+  else:
+    # exact fixed trip count (the dm max-chain is unused here and DCE'd)
+    def vel_iter(_, carry):
+      return vel_iter_core(carry)[0]
+
+    v, w, j_imp, j_mot, j_lim, wc, pc = jax.lax.fori_loop(
+        0, spec.vel_iters, vel_iter, init, unroll=1)
   return b._replace(v=v, w=w, j_imp=j_imp, j_mot=j_mot, j_lim=j_lim,
                     wc=wc, pc=pc)
 
@@ -859,8 +890,23 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
     a = jnp.where(done, a0, a)
     return c, a, done | okay
 
-  c, a, _ = jax.lax.fori_loop(0, spec.pos_iters, pos_iter,
-                              (c, a, jnp.asarray(False)))
+  if float(getattr(spec, 'solver_exit_tol', 0.0)) > 0.0:
+    # actually BREAK at Box2D's own done condition instead of masking the
+    # remaining trips — bit-identical results (post-done iterations above
+    # are reverted no-ops), fewer loop trips
+    def p_cond(cadi):
+      return (cadi[3] < spec.pos_iters) & ~cadi[2]
+
+    def p_body(cadi):
+      c, a, done = pos_iter(None, cadi[:3])
+      return (c, a, done, cadi[3] + 1)
+
+    c, a, _, _ = jax.lax.while_loop(
+        p_cond, p_body, (c, a, jnp.asarray(False),
+                         jnp.asarray(0, jnp.int32)))
+  else:
+    c, a, _ = jax.lax.fori_loop(0, spec.pos_iters, pos_iter,
+                                (c, a, jnp.asarray(False)))
   return c, a
 
 

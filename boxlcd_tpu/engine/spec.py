@@ -113,6 +113,14 @@ class WorldSpec:
   b_ci: np.ndarray
   b_si: np.ndarray
   allow_sleep: bool = True          # Box2D b2World default
+  # solver convergence exit: when > 0, the velocity Gauss-Seidel loop stops
+  # once the largest impulse delta of an iteration drops below this (N*s),
+  # and the NGS loop exits at Box2D's own done condition instead of masking
+  # remaining trips. 0.0 (default) = exact fixed trip counts. The NGS exit
+  # is semantically exact (b2Island::Solve breaks there); the velocity exit
+  # deviates by O(tol * inv_m * dt) per substep — far under LINEAR_SLOP at
+  # the 1e-4 bench setting (parity-floor-tested in tests/test_parity.py).
+  solver_exit_tol: float = 0.0
 
   @property
   def obs_size(self):
@@ -464,6 +472,7 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
       wall_normal=wall_normal, wall_offset=wall_offset,
       gravity=_f(world_def.gravity), dt=float(dt), substeps=int(substeps),
       vel_iters=int(G.get('vel_iters', 8)), pos_iters=int(G.get('pos_iters', 4)),
+      solver_exit_tol=float(G.get('solver_exit_tol', 0.0)),
       width=width, height=height,
       role=_i(role), root_of=_i(root_of), parent_of=_i(parent_of),
       rs_rangex=_f(rs_rangex), rs_rangey_lo=_f(rs_rangey_lo),

@@ -108,6 +108,9 @@ def config():
   # solver iteration knobs (TPU engine; reference ran Box2D at 180/60)
   G.vel_iters = 8
   G.pos_iters = 4
+  # >0: velocity-loop convergence exit at this impulse-delta tol + exact
+  # Box2D NGS break (see WorldSpec.solver_exit_tol); 0 = fixed trip counts
+  G.solver_exit_tol = 0.0
 
   G.full_cmd = 'python ' + ' '.join(sys.argv)
   try:

@@ -35,12 +35,14 @@ def make_env(name, G=None):
   return WorldEnv(w, G)
 
 
-def rollout_pair(env_name, steps, seed=0, actuated=True, iters=None):
+def rollout_pair(env_name, steps, seed=0, actuated=True, iters=None,
+                 G_extra=None):
   """Roll our engine and the Box2D oracle from identical poses.
 
   Returns (ours, theirs): lists of (origin_positions (N,2), angles (N,))."""
   from tests.oracle import Box2DOracle
   G = {'vel_iters': iters[0], 'pos_iters': iters[1]} if iters else {}
+  G.update(G_extra or {})
   env = make_env(env_name, G)
   oracle = Box2DOracle(env)
   env.seed(seed)
@@ -77,11 +79,12 @@ def divergence_metrics(ours, theirs, eps=EPS_DIVERGE):
           'w1_pose': float(w1)}
 
 
-def env_parity(env_name, steps, seeds, actuated=True, iters=None):
+def env_parity(env_name, steps, seeds, actuated=True, iters=None,
+               G_extra=None):
   """Aggregate divergence metrics over seeds."""
   rows = []
   for s in seeds:
     ours, theirs = rollout_pair(env_name, steps, seed=s, actuated=actuated,
-                                iters=iters)
+                                iters=iters, G_extra=G_extra)
     rows.append(divergence_metrics(ours, theirs))
   return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
