@@ -55,12 +55,14 @@ from boxlcd_tpu.envs.env import Env
 REFERENCE_STEPS_PER_SEC = 1700.0  # examples/README.md:33 (CPU, single proc)
 
 
-def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3):
+def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3,
+            exit_tol=None):
   """steps/s for one config; returns (steps_per_sec, solver_used)."""
   from boxlcd_tpu.engine import mega, physics
   env = boxlcd_tpu.env_map[env_name](
       {'vel_iters': vel_iters, 'pos_iters': pos_iters,
-       'solver_exit_tol': float(os.environ.get('BENCH_EXIT_TOL', 0.0)),
+       'solver_exit_tol': float(os.environ.get('BENCH_EXIT_TOL', 0.0))
+       if exit_tol is None else exit_tol,
        'raster': os.environ.get('BENCH_RASTER', 'exact')})
   spec = env.spec
   if solver_kind == 'auto':
@@ -201,18 +203,23 @@ def main():
     solver_kind = 'sub'
 
   if int(os.environ.get('BENCH_MATRIX', 0)):
+    # env x {iters, solver, convergence-exit} matrix; 'solver' labels the
+    # path that actually ran (mega = fused rollout kernel + traj raster,
+    # jnp = per-step scan fallback). LuxoCube/Object3 ride the mega path
+    # since v2 (body-body pairs + random shapes).
     rows = []
-    for ename in ('Urchin', 'LuxoCube', 'Object3'):
-      for vi, pi in ((8, 4), (180, 60)):
-        for kind in ('auto', 'jnp'):
-          sps, solver_used = measure(ename, vi, pi, kind, B, T)
-          if kind != 'auto' and solver_used == kind == 'jnp' and rows \
-              and rows[-1]['solver'] == 'jnp' and rows[-1]['env'] == ename:
-            continue  # auto already fell back to jnp; skip the duplicate
-          rows.append({'env': ename, 'vel_iters': vi, 'pos_iters': pi,
-                       'solver': solver_used, 'worlds': B,
-                       'steps_per_sec': round(sps, 1)})
-          print(rows[-1], file=sys.stderr)
+    for ename in ('Urchin', 'LuxoCube', 'Object3', 'Bounce2'):
+      for vi, pi, kind, tol in ((8, 4, 'auto', 0.0), (8, 4, 'jnp', 0.0),
+                                (180, 60, 'auto', 0.0),
+                                (180, 60, 'auto', 1e-4)):
+        sps, solver_used = measure(ename, vi, pi, kind, B, T, exit_tol=tol)
+        if kind == 'jnp' and rows and rows[-1]['solver'] == 'jnp' \
+            and rows[-1]['env'] == ename:
+          continue  # auto already fell back to jnp; skip the duplicate
+        rows.append({'env': ename, 'vel_iters': vi, 'pos_iters': pi,
+                     'solver': solver_used, 'exit_tol': tol, 'worlds': B,
+                     'steps_per_sec': round(sps, 1)})
+        print(rows[-1], file=sys.stderr)
     with open('BENCH_MATRIX.json', 'w') as f:
       json.dump(rows, f, indent=1)
 
