@@ -67,10 +67,11 @@ fi
 echo "=== SAC eval N=1000"
 run_stage sac_eval python -m research.scripts.eval_policy sac --env=Luxo \
   --goals=1 --logdir=$SW/main
-echo "=== SAC firehose path (short exercise run)"
+echo "=== SAC firehose path (big batched env, no replay; short anger run)"
 if [ ! -f "$SW/firehose/done" ]; then
+  # firehose counts VECTOR steps: 5000 itrs x 256 envs = 1.28M transitions
   run_stage sac_firehose python -m research.rl.main sac --env=Luxo --goals=1 \
-    --autoreset=1 --num_envs=12 --total_steps=50000 --bs=256 \
+    --autoreset=1 --num_envs=256 --total_steps=5000 --bs=256 \
     --hidden_size=256 --logdir=$SW/firehose --firehose=1 \
     && touch "$SW/firehose/done"
 fi
