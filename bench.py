@@ -212,7 +212,14 @@ def main():
       for vi, pi, kind, tol in ((8, 4, 'auto', 0.0), (8, 4, 'jnp', 0.0),
                                 (180, 60, 'auto', 0.0),
                                 (180, 60, 'auto', 1e-4)):
-        sps, solver_used = measure(ename, vi, pi, kind, B, T, exit_tol=tol)
+        try:
+          sps, solver_used = measure(ename, vi, pi, kind, B, T, exit_tol=tol)
+        except Exception as e:  # one bad config must not kill the matrix
+          rows.append({'env': ename, 'vel_iters': vi, 'pos_iters': pi,
+                       'solver': kind, 'exit_tol': tol, 'worlds': B,
+                       'error': repr(e)[:200]})
+          print(rows[-1], file=sys.stderr)
+          continue
         if kind == 'jnp' and rows and rows[-1]['solver'] == 'jnp' \
             and rows[-1]['env'] == ename:
           continue  # auto already fell back to jnp; skip the duplicate
