@@ -76,4 +76,8 @@ if [ ! -f "$SW/firehose/done" ]; then
     && touch "$SW/firehose/done"
 fi
 
+echo "=== headline variants (matched-physics exit lever, taller SUB tiles)"
+BENCH_ITERS=ref BENCH_EXIT_TOL=1e-4 timeout 1800 python bench.py 2>&1 | tail -1
+BOXLCD_MEGA_SUB=16 timeout 1800 python bench.py 2>&1 | tail -1
+
 echo "=== round4b done $(date)"
