@@ -34,6 +34,20 @@ run_stage() {
   return "$rc"
 }
 
+# The matched-physics headline variants are the cheapest unmet evidence
+# items (VERDICT r3 weak #2) — run them before the multi-hour table/SAC
+# stages so a deadline squeeze can't drop them.
+echo "=== headline variants (matched-physics exit lever, taller SUB tiles)"
+mkdir -p logs
+if ! grep -q vs_baseline logs/bench_ref_exit.log 2>/dev/null; then
+  run_stage bench_ref_exit env BENCH_ITERS=ref BENCH_EXIT_TOL=1e-4 \
+    timeout 1800 python bench.py
+fi 2>&1 | tee -a logs/bench_ref_exit.log
+if ! grep -q vs_baseline logs/bench_sub16.log 2>/dev/null; then
+  run_stage bench_sub16 env BOXLCD_MEGA_SUB=16 \
+    timeout 1800 python bench.py
+fi 2>&1 | tee -a logs/bench_sub16.log
+
 run_stage table_bounce bash research/scripts/model_table.sh \
   "Bounce" /root/work/mtable
 
@@ -75,9 +89,5 @@ if [ ! -f "$SW/firehose/done" ]; then
     --hidden_size=256 --logdir=$SW/firehose --firehose=1 \
     && touch "$SW/firehose/done"
 fi
-
-echo "=== headline variants (matched-physics exit lever, taller SUB tiles)"
-BENCH_ITERS=ref BENCH_EXIT_TOL=1e-4 timeout 1800 python bench.py 2>&1 | tail -1
-BOXLCD_MEGA_SUB=16 timeout 1800 python bench.py 2>&1 | tail -1
 
 echo "=== round4b done $(date)"
