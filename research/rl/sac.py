@@ -115,8 +115,31 @@ class SAC(RLAlgo):
       return params, target_params, log_alpha, pi_state, q_state, a_state, \
           metrics
 
+    def update_burst(params, target_params, log_alpha, pi_state, q_state,
+                     a_state, batches, key):
+      """The reference's inner `for j in range(update_every)` loop
+      (reference: research/rl/sac.py update block) as ONE lax.scan dispatch:
+      on the tunnel-attached TPU each jitted call costs a ~20 ms round trip,
+      so 500k per-update dispatches dominate wall clock; scanning the whole
+      block is semantics-identical (batches are sampled i.i.d. from the same
+      buffer state either way) and pays the round trip once per block."""
+      n = batches['rew'].shape[0]
+      keys = jax.random.split(key, n)
+
+      def body(carry, inp):
+        batch, k = inp
+        *carry2, metrics = update(*carry, batch, k)
+        return tuple(carry2), metrics
+
+      carry, metrics = jax.lax.scan(
+          body, (params, target_params, log_alpha, pi_state, q_state,
+                 a_state), (batches, keys))
+      last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+      return (*carry, last)
+
     self._act = jax.jit(act_fn, static_argnums=3)
     self._update = jax.jit(update)
+    self._update_burst = jax.jit(update_burst)
 
   def _obs_subset(self, o):
     return {k: np.asarray(o[k], np.float32) for k in self.net_keys}
@@ -229,14 +252,17 @@ class SAC(RLAlgo):
       o = o2
       if t >= G.update_after and (t // G.num_envs) % \
           max(1, G.update_every // G.num_envs) == 0:
-        for _ in range(G.update_every):
-          batch = self.buf.sample_batch(self.rng, G.bs)
-          batch = jax.tree_util.tree_map(jnp.asarray, batch)
-          self.key, k = jax.random.split(self.key)
-          (self.params, self.target_params, self.log_alpha, self.pi_state,
-           self.q_state, self.a_state, metrics) = self._update(
-              self.params, self.target_params, self.log_alpha, self.pi_state,
-              self.q_state, self.a_state, batch, k)
+        # one fused dispatch for the whole update_every block (see
+        # update_burst); i.i.d. batches are sampled in one host draw
+        n = int(G.update_every)
+        big = self.buf.sample_batch(self.rng, n * G.bs)
+        batches = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v).reshape(n, G.bs, *v.shape[1:]), big)
+        self.key, k = jax.random.split(self.key)
+        (self.params, self.target_params, self.log_alpha, self.pi_state,
+         self.q_state, self.a_state, metrics) = self._update_burst(
+            self.params, self.target_params, self.log_alpha, self.pi_state,
+            self.q_state, self.a_state, batches, k)
         self.logger.update({k2: float(v) for k2, v in metrics.items()})
       if (t // G.num_envs) % max(1, 4000 // G.num_envs) == 0 and t > 0:
         self.test_agent(t)

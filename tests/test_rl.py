@@ -42,6 +42,41 @@ def test_sac_updates(tmp_path, firehose):
     sac.run()  # 8 steps: exercises store/sample/update path end to end
 
 
+def test_sac_update_burst_matches_sequential(tmp_path):
+  """The fused lax.scan update block must equal n sequential _update calls
+  given the same batches and the same derived keys (run() now dispatches
+  one burst per update_every block to amortize the tunnel round trip)."""
+  from research.rl.sac import SAC
+  G = rl_G(tmp_path, 'sac', bs=8, hidden_size=32)
+  sac = SAC(G)
+  n, bs = 3, int(G.bs)
+  key = jax.random.PRNGKey(7)
+  rng = np.random.RandomState(0)
+  mk = lambda: {k: jnp.asarray(rng.randn(n, bs, *v.shape[1:]), jnp.float32)
+                for k, v in sac.buf.obs.items()}
+  batches = {'obs': mk(), 'obs2': mk(),
+             'act': jnp.asarray(rng.uniform(-1, 1, (n, bs, sac.buf.act.shape[-1])),
+                                jnp.float32),
+             'rew': jnp.asarray(rng.randn(n, bs), jnp.float32),
+             'done': jnp.zeros((n, bs), jnp.float32)}
+  burst = sac._update_burst(sac.params, sac.target_params, sac.log_alpha,
+                            sac.pi_state, sac.q_state, sac.a_state, batches,
+                            key)
+  keys = jax.random.split(key, n)
+  seq = (sac.params, sac.target_params, sac.log_alpha, sac.pi_state,
+         sac.q_state, sac.a_state)
+  for i in range(n):
+    batch = jax.tree_util.tree_map(lambda v: v[i], batches)
+    *seq, metrics = sac._update(*seq, batch, keys[i])
+  for got, want in zip(burst[:6], seq):
+    err = jax.tree_util.tree_reduce(
+        lambda acc, x: max(acc, float(jnp.abs(x).max())),
+        jax.tree_util.tree_map(lambda a_, b: jnp.asarray(a_, jnp.float32)
+                               - jnp.asarray(b, jnp.float32), got, want), 0.0)
+    assert err < 1e-5, err
+  assert all(np.isfinite(float(v)) for v in burst[6].values())
+
+
 def test_ppo_epoch(tmp_path):
   from research.rl.ppo import PPO
   G = rl_G(tmp_path, 'ppo', steps_per_epoch=48, total_steps=48,
