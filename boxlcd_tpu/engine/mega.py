@@ -142,6 +142,10 @@ def _build_kernel(spec: WorldSpec, T: int):
   exit_tol = float(getattr(spec, 'solver_exit_tol', 0.0))
   gx, gy = float(spec.gravity[0]), float(spec.gravity[1])
   allow_sleep = bool(spec.allow_sleep)
+  # batch-granular inert-constraint skip (BOXLCD_MEGA_SKIP=0 opts out): wall/
+  # pair blocks whose every world in the tile is untouched are guarded by a
+  # scalar lax.cond per solver sweep — see the activity-flag comment below.
+  skip_inert = os.environ.get('BOXLCD_MEGA_SKIP', '1') != '0'
 
   kind = [int(spec.shape_static[i]) for i in range(n)]
   is_circ = [k == CIRCLE for k in kind]
@@ -759,6 +763,41 @@ def _build_kernel(spec: WorldSpec, T: int):
           p_bias[s] = jnp.where(vn0 < -VELOCITY_THRESHOLD,
                                 -pd['rest'] * vn0, 0.0)
 
+      # ---- 4c. batch-granular constraint activity ------------------------
+      # A wall/pair block whose every world in this tile is untouched has
+      # zero effective masses (w_nm/w_tm/p_nm/p_tm) AND zeroed accumulators
+      # (wcn/wct/pcn/pct, cleared above), so all its velocity-sweep impulse
+      # deltas are exactly 0 and its NGS impulses are where(touch,..)=0:
+      # skipping the block is bit-exact modulo the sign of exact zeros (the
+      # same class as the _cmul fold). Most blocks are inert most of the
+      # time (exit_probe.py: Urchin runs ~6-7 of 16+1), and the flags are
+      # fixed across the whole substep's iterations, so each sweep guards
+      # the blocks with scalar lax.conds on these per-substep reductions.
+      if skip_inert:
+        w_act = []
+        for wi in range(nw):
+          acc = None
+          for i in range(n):
+            for k in range(2):
+              nm = w_nm[wslot(i, wi, k)]
+              acc = nm if acc is None else jnp.maximum(acc, nm)
+          w_act.append(jnp.max(acc) > 0.0)
+        p_act = [jnp.max(jnp.maximum(p_nm[2 * q], p_nm[2 * q + 1])) > 0.0
+                 for q in range(len(pairs))]
+        # NGS activity keys on the narrowphase touch masks (the position
+        # impulse is where(touch, ..)-masked), per wall-point slot / pair
+        ngs_w_act = []
+        for wi in range(nw):
+          for k in range(2):
+            acc = None
+            for i in range(n):
+              t = jnp.where(m_tch[wslot(i, wi, k)], 1.0, 0.0)
+              acc = t if acc is None else jnp.maximum(acc, t)
+            ngs_w_act.append(jnp.max(acc) > 0.0)
+        ngs_p_act = [
+            jnp.max(jnp.where(pman[q]['t1'] | pman[q]['t2'], 1.0, 0.0)) > 0.0
+            for q in range(len(pairs))]
+
       # ---- joints presolve ----------------------------------------------
       j_rAx = [None] * jn_pad
       j_rAy = [None] * jn_pad
@@ -874,22 +913,27 @@ def _build_kernel(spec: WorldSpec, T: int):
           om[ch] = om[ch] + iB * (j_rBx[j] * py - j_rBy[j] * px + dz)
           dm = jnp.maximum(dm, jnp.maximum(
               jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(dz))))
-        # wall contacts: friction both points, then normal block pair
-        for wi in range(nw):
+        # wall contacts: friction both points, then normal block pair. Each
+        # wall's sweep is a function of (vx, vy, om, the wall's 2n wcn/wct
+        # slots, dm) so the skip path can guard it with one scalar cond.
+        def wall_sweep(wi, vx, vy, om, cn, ct, dm):
+          vx, vy, om = list(vx), list(vy), list(om)
+          cn, ct = list(cn), list(ct)
           nx, ny = wall_n[wi]
           tx, ty = ny, -nx
           for i in range(n):
             im, ii = imv[i], iiv[i]
             for k in range(2):
               s = wslot(i, wi, k)
+              c = i * 2 + k
               vt = _cadd2(
                   None if tx == 0.0 else _cmul(tx, vx[i] - om[i] * w_rBy[s]),
                   None if ty == 0.0 else _cmul(ty, vy[i] + om[i] * w_rBx[s]))
               lam = -w_tm[s] * vt
-              maxf = mu[i] * wcn[s]
-              new = jnp.clip(wct[s] + lam, -maxf, maxf)
-              d = new - wct[s]
-              wct[s] = new
+              maxf = mu[i] * cn[c]
+              new = jnp.clip(ct[c] + lam, -maxf, maxf)
+              d = new - ct[c]
+              ct[c] = new
               dm = jnp.maximum(dm, jnp.abs(d))
               if tx != 0.0:
                 vx[i] = vx[i] + _cmul(tx, im * d)
@@ -898,7 +942,8 @@ def _build_kernel(spec: WorldSpec, T: int):
               om[i] = om[i] + ii * _csub2(_cmul(ty, w_rBx[s] * d),
                                           _cmul(tx, w_rBy[s] * d))
             s1, s2 = wslot(i, wi, 0), wslot(i, wi, 1)
-            a1, a2 = wcn[s1], wcn[s2]
+            c1, c2 = i * 2, i * 2 + 1
+            a1, a2 = cn[c1], cn[c2]
             # sequential candidate
             vxs, vys, oms = vx[i], vy[i], om[i]
             d_seq = []
@@ -938,46 +983,71 @@ def _build_kernel(spec: WorldSpec, T: int):
             om[i] = om[i] + ii * (
                 _csub2(_cmul(ny, w_rBx[s1]), _cmul(nx, w_rBy[s1])) * d1
                 + _csub2(_cmul(ny, w_rBx[s2]), _cmul(nx, w_rBy[s2])) * d2)
-            wcn[s1] = a1 + d1
-            wcn[s2] = a2 + d2
+            cn[c1] = a1 + d1
+            cn[c2] = a2 + d2
             dm = jnp.maximum(dm, jnp.maximum(jnp.abs(d1), jnp.abs(d2)))
+          return (tuple(vx), tuple(vy), tuple(om), tuple(cn), tuple(ct), dm)
+
+        for wi in range(nw):
+          cn_w = tuple(wcn[wslot(i, wi, k)]
+                       for i in range(n) for k in range(2))
+          ct_w = tuple(wct[wslot(i, wi, k)]
+                       for i in range(n) for k in range(2))
+          ops = (tuple(vx), tuple(vy), tuple(om), cn_w, ct_w, dm)
+          if skip_inert:
+            ops = jax.lax.cond(
+                w_act[wi], lambda o, wi=wi: wall_sweep(wi, *o),
+                lambda o: o, ops)
+          else:
+            ops = wall_sweep(wi, *ops)
+          vx, vy, om = list(ops[0]), list(ops[1]), list(ops[2])
+          for i in range(n):
+            for k in range(2):
+              wcn[wslot(i, wi, k)] = ops[3][i * 2 + k]
+              wct[wslot(i, wi, k)] = ops[4][i * 2 + k]
+          dm = ops[5]
         # pair contacts (mirrors physics.velocity_solve pair_pass): friction
         # at both points from the post-friction state, then the normal pair
-        # as sequential candidates vs the 2x2 block LCP
-        for q, pd in enumerate(pairs):
+        # as sequential candidates vs the 2x2 block LCP. Per-pair function
+        # over the mutated tiles so the skip path can cond-guard it.
+        def pair_sweep(q, vxa, vya, oma, vxb, vyb, omb, cn1, cn2, ct1, ct2,
+                       dm):
+          pd = pairs[q]
           a, b = pd['a'], pd['b']
           m = pman[q]
           imA, iiA = imv[a], iiv[a]
           imB, iiB = imv[b], iiv[b]
           nxv, nyv = m['nx'], m['ny']
           txv, tyv = nyv, -nxv
+          ct = [ct1, ct2]
+          cn = [cn1, cn2]
           for k in range(2):    # friction, both points
             s = 2 * q + k
-            dvx = (vx[b] - om[b] * p_rBy[s]) - (vx[a] - om[a] * p_rAy[s])
-            dvy = (vy[b] + om[b] * p_rBx[s]) - (vy[a] + om[a] * p_rAx[s])
-            vt = dvx * txv + dvy * tyv
-            lam = -p_tm[s] * vt
-            maxf = pd['mu'] * pcn[s]
-            new = jnp.clip(pct[s] + lam, -maxf, maxf)
-            d = new - pct[s]
-            pct[s] = new
-            Px, Py = d * txv, d * tyv
-            vx[a] = vx[a] - imA * Px
-            vy[a] = vy[a] - imA * Py
-            vx[b] = vx[b] + imB * Px
-            vy[b] = vy[b] + imB * Py
-            om[a] = om[a] - iiA * (p_rAx[s] * Py - p_rAy[s] * Px)
-            om[b] = om[b] + iiB * (p_rBx[s] * Py - p_rBy[s] * Px)
-            dm = jnp.maximum(dm, jnp.abs(d))
-          s1, s2 = 2 * q, 2 * q + 1
-          a1, a2 = pcn[s1], pcn[s2]
-          # sequential candidate (virtual application in order)
-          vxa, vya, oma = vx[a], vy[a], om[a]
-          vxb, vyb, omb = vx[b], vy[b], om[b]
-          d_seq = []
-          for k, s in enumerate((s1, s2)):
             dvx = (vxb - omb * p_rBy[s]) - (vxa - oma * p_rAy[s])
             dvy = (vyb + omb * p_rBx[s]) - (vya + oma * p_rAx[s])
+            vt = dvx * txv + dvy * tyv
+            lam = -p_tm[s] * vt
+            maxf = pd['mu'] * cn[k]
+            new = jnp.clip(ct[k] + lam, -maxf, maxf)
+            d = new - ct[k]
+            ct[k] = new
+            Px, Py = d * txv, d * tyv
+            vxa = vxa - imA * Px
+            vya = vya - imA * Py
+            vxb = vxb + imB * Px
+            vyb = vyb + imB * Py
+            oma = oma - iiA * (p_rAx[s] * Py - p_rAy[s] * Px)
+            omb = omb + iiB * (p_rBx[s] * Py - p_rBy[s] * Px)
+            dm = jnp.maximum(dm, jnp.abs(d))
+          s1, s2 = 2 * q, 2 * q + 1
+          a1, a2 = cn[0], cn[1]
+          # sequential candidate (virtual application in order)
+          vxa_, vya_, oma_ = vxa, vya, oma
+          vxb_, vyb_, omb_ = vxb, vyb, omb
+          d_seq = []
+          for k, s in enumerate((s1, s2)):
+            dvx = (vxb_ - omb_ * p_rBy[s]) - (vxa_ - oma_ * p_rAy[s])
+            dvy = (vyb_ + omb_ * p_rBx[s]) - (vya_ + oma_ * p_rAx[s])
             vn = dvx * nxv + dvy * nyv
             lam = -p_nm[s] * (vn - p_bias[s])
             acc = (a1, a2)[k]
@@ -985,17 +1055,17 @@ def _build_kernel(spec: WorldSpec, T: int):
             dk = new - acc
             d_seq.append(dk)
             Px, Py = dk * nxv, dk * nyv
-            vxa = vxa - imA * Px
-            vya = vya - imA * Py
-            vxb = vxb + imB * Px
-            vyb = vyb + imB * Py
-            oma = oma - iiA * (p_rAx[s] * Py - p_rAy[s] * Px)
-            omb = omb + iiB * (p_rBx[s] * Py - p_rBy[s] * Px)
+            vxa_ = vxa_ - imA * Px
+            vya_ = vya_ - imA * Py
+            vxb_ = vxb_ + imB * Px
+            vyb_ = vyb_ + imB * Py
+            oma_ = oma_ - iiA * (p_rAx[s] * Py - p_rAy[s] * Px)
+            omb_ = omb_ + iiB * (p_rBx[s] * Py - p_rBy[s] * Px)
           # block candidate from the pre-normal state
-          dv1x = (vx[b] - om[b] * p_rBy[s1]) - (vx[a] - om[a] * p_rAy[s1])
-          dv1y = (vy[b] + om[b] * p_rBx[s1]) - (vy[a] + om[a] * p_rAx[s1])
-          dv2x = (vx[b] - om[b] * p_rBy[s2]) - (vx[a] - om[a] * p_rAy[s2])
-          dv2y = (vy[b] + om[b] * p_rBx[s2]) - (vy[a] + om[a] * p_rAx[s2])
+          dv1x = (vxb - omb * p_rBy[s1]) - (vxa - oma * p_rAy[s1])
+          dv1y = (vyb + omb * p_rBx[s1]) - (vya + oma * p_rAx[s1])
+          dv2x = (vxb - omb * p_rBy[s2]) - (vxa - oma * p_rAy[s2])
+          dv2y = (vyb + omb * p_rBx[s2]) - (vya + oma * p_rAx[s2])
           vn1 = dv1x * nxv + dv1y * nyv
           vn2 = dv2x * nxv + dv2y * nyv
           d1b, d2b = _block_lcp(vn1 - p_bias[s1], vn2 - p_bias[s2], a1, a2,
@@ -1006,18 +1076,32 @@ def _build_kernel(spec: WorldSpec, T: int):
           d2 = jnp.where(blk, d2b, d_seq[1])
           Psx = (d1 + d2) * nxv
           Psy = (d1 + d2) * nyv
-          vx[a] = vx[a] - imA * Psx
-          vy[a] = vy[a] - imA * Psy
-          vx[b] = vx[b] + imB * Psx
-          vy[b] = vy[b] + imB * Psy
+          vxa = vxa - imA * Psx
+          vya = vya - imA * Psy
+          vxb = vxb + imB * Psx
+          vyb = vyb + imB * Psy
           dwA = ((p_rAx[s1] * nyv - p_rAy[s1] * nxv) * d1
                  + (p_rAx[s2] * nyv - p_rAy[s2] * nxv) * d2)
           dwB = ((p_rBx[s1] * nyv - p_rBy[s1] * nxv) * d1
                  + (p_rBx[s2] * nyv - p_rBy[s2] * nxv) * d2)
-          om[a] = om[a] - iiA * dwA
-          om[b] = om[b] + iiB * dwB
-          pcn[s1] = a1 + d1
-          pcn[s2] = a2 + d2
+          oma = oma - iiA * dwA
+          omb = omb + iiB * dwB
+          return (vxa, vya, oma, vxb, vyb, omb,
+                  a1 + d1, a2 + d2, ct[0], ct[1], dm)
+
+        for q, pd in enumerate(pairs):
+          a, b = pd['a'], pd['b']
+          s1, s2 = 2 * q, 2 * q + 1
+          ops = (vx[a], vy[a], om[a], vx[b], vy[b], om[b],
+                 pcn[s1], pcn[s2], pct[s1], pct[s2], dm)
+          if skip_inert:
+            ops = jax.lax.cond(
+                p_act[q], lambda o, q=q: pair_sweep(q, *o),
+                lambda o: o, ops)
+          else:
+            ops = pair_sweep(q, *ops)
+          (vx[a], vy[a], om[a], vx[b], vy[b], om[b],
+           pcn[s1], pcn[s2], pct[s1], pct[s2], dm) = ops
         out = tuple(tuple(x) for x in
                     (vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct))
         return out, jnp.max(dm)
@@ -1061,7 +1145,8 @@ def _build_kernel(spec: WorldSpec, T: int):
         cxp, cyp, aap = list(cx), list(cy), list(aa)
         minsep = jnp.zeros_like(cx[0])
         jbad = jnp.zeros_like(done)
-        for idx in range(nw * 2):
+        def ngs_wall_slot(idx, cx, cy, aa, minsep):
+          cx, cy, aa = list(cx), list(cy), list(aa)
           wi, k = idx // 2, idx % 2
           nx, ny = wall_n[wi]
           off = wall_off[wi]
@@ -1086,11 +1171,30 @@ def _build_kernel(spec: WorldSpec, T: int):
             if ny != 0.0:
               cy[i] = cy[i] + _cmul(ny, im * imp)
             aa[i] = aa[i] + ii * crn * imp
+          return (tuple(cx), tuple(cy), tuple(aa), minsep)
+
+        for idx in range(nw * 2):
+          ops = (tuple(cx), tuple(cy), tuple(aa), minsep)
+          if skip_inert:
+            # untouched slots contribute where(m_tch,..)=0 impulses and a
+            # where(m_tch, sep, 0) minsep term (min(x, 0) == x: minsep
+            # starts at 0 and only decreases) — the skip is exact
+            ops = jax.lax.cond(
+                ngs_w_act[idx], lambda o, idx=idx: ngs_wall_slot(idx, *o),
+                lambda o: o, ops)
+          else:
+            ops = ngs_wall_slot(idx, *ops)
+          cx, cy, aa = list(ops[0]), list(ops[1]), list(ops[2])
+          minsep = ops[3]
         # pair contacts (mirrors physics._position_solve one_pair_slot):
         # recompute the manifold point from body-local data at the CURRENT
         # poses, per reachable manifold type, then a 1-point NGS correction
-        for q, pd in enumerate(pairs):
+        def ngs_pair(q, cxa, cya, aaa, cxb, cyb, aab, minsep):
+          pd = pairs[q]
           a, b = pd['a'], pd['b']
+          cx = {a: cxa, b: cxb}
+          cy = {a: cya, b: cyb}
+          aa = {a: aaa, b: aab}
           m = pman[q]
           imA, iiA = imv[a], iiv[a]
           imB, iiB = imv[b], iiv[b]
@@ -1172,6 +1276,18 @@ def _build_kernel(spec: WorldSpec, T: int):
             cy[b] = cy[b] + imB * Py
             aa[a] = aa[a] - iiA * (rAx * Py - rAy * Px)
             aa[b] = aa[b] + iiB * (rBx * Py - rBy * Px)
+          return (cx[a], cy[a], aa[a], cx[b], cy[b], aa[b], minsep)
+
+        for q, pd in enumerate(pairs):
+          a, b = pd['a'], pd['b']
+          ops = (cx[a], cy[a], aa[a], cx[b], cy[b], aa[b], minsep)
+          if skip_inert:
+            ops = jax.lax.cond(
+                ngs_p_act[q], lambda o, q=q: ngs_pair(q, *o),
+                lambda o: o, ops)
+          else:
+            ops = ngs_pair(q, *ops)
+          cx[a], cy[a], aa[a], cx[b], cy[b], aa[b], minsep = ops
         for jd in joints:
           j, pa, ch = jd['j'], jd['pa'], jd['ch']
           iA, iB, mA, mB = jd['iA'], jd['iB'], jd['mA'], jd['mB']

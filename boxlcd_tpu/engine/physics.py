@@ -271,8 +271,15 @@ class PostAux(NamedTuple):
   lc: jnp.ndarray
 
 
-def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
-  """Sequential-impulse velocity iterations for one world (jnp path)."""
+def _vel_iteration(spec: WorldSpec, b: SolveBundle):
+  """Build the one-iteration Gauss-Seidel body for one world's velocity solve.
+
+  Returns `(vel_iter_core, init)` where `vel_iter_core(carry) -> (carry, dm)`
+  runs one full sweep (joints -> walls -> pairs, Box2D island order baked
+  into the spec) and `dm` is the sweep's largest |impulse delta|. Used by
+  `velocity_solve` and by research/scripts/exit_probe.py to record
+  per-iteration residuals.
+  """
   dt = spec.dt
   nw = len(spec.wall_offset)
   wall_n = jnp.asarray(spec.wall_normal)
@@ -466,6 +473,12 @@ def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
     return (v, w, j_imp, j_mot, j_lim, wc, pc), dm
 
   init = (b.v, b.w, b.j_imp, b.j_mot, b.j_lim, b.wc, b.pc)
+  return vel_iter_core, init
+
+
+def velocity_solve(spec: WorldSpec, b: SolveBundle) -> SolveBundle:
+  """Sequential-impulse velocity iterations for one world (jnp path)."""
+  vel_iter_core, init = _vel_iteration(spec, b)
   tol = float(getattr(spec, 'solver_exit_tol', 0.0))
   if tol > 0.0:
     # convergence exit: stop once an iteration's largest impulse delta is
@@ -732,10 +745,12 @@ def _presolve(spec: WorldSpec, st: WorldState, motor_speed):
 
 
 def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
-                    aux: PostAux):
+                    aux: PostAux, record_done=False):
   """Steps 7-8: integrate positions + NGS corrections (jnp path). Returns
   (c, a); the batched caller can swap in the fused Pallas substep kernel
-  (engine/pallas_solver.py) for this stage."""
+  (engine/pallas_solver.py) for this stage. With record_done=True returns
+  (c, a, dones) where dones[i] is the Box2D exit flag after iteration i
+  (research/scripts/exit_probe.py diagnostics)."""
   dt = spec.dt
   wallm, pairm, j_state, lc = aux.wallm, aux.pairm, aux.j_state, aux.lc
   inv_m, inv_i = b.inv_m, b.inv_i
@@ -890,6 +905,14 @@ def _position_solve(spec: WorldSpec, st: WorldState, b: SolveBundle,
     a = jnp.where(done, a0, a)
     return c, a, done | okay
 
+  if record_done:
+    def p_scan(cad, _):
+      c, a, done = pos_iter(None, cad)
+      return (c, a, done), done
+
+    (c, a, _), dones = jax.lax.scan(
+        p_scan, (c, a, jnp.asarray(False)), None, length=spec.pos_iters)
+    return c, a, dones
   if float(getattr(spec, 'solver_exit_tol', 0.0)) > 0.0:
     # actually BREAK at Box2D's own done condition instead of masking the
     # remaining trips — bit-identical results (post-done iterations above
