@@ -127,3 +127,44 @@ def test_mega_collect_layout_and_reset_obs():
     assert out_j[k].dtype == out_m[k].dtype, k
   for k in ('lcd', 'full_state', 'proprio'):
     assert np.array_equal(out_j[k][:, 0], out_m[k][:, 0]), f'{k} @t=0'
+
+
+def test_mega_skip_inert_bit_exact(monkeypatch):
+  """BOXLCD_MEGA_SKIP (batch-granular inert-constraint skip, default on) must
+  be bit-exact vs the unguarded kernel modulo the sign of exact zeros: inert
+  blocks have zero effective masses and cleared accumulators, so every
+  impulse they would apply is exactly 0 (same class as the _cmul fold)."""
+  env = boxlcd_tpu.env_map['LuxoCube']()   # walls + body-body pair + joints
+  spec = env.spec
+  if not mega.supports(spec):
+    pytest.skip('megakernel does not support this env')
+  B = mega.BLOCK
+  keys = jax.random.split(jax.random.PRNGKey(3), B)
+  states = jax.jit(jax.vmap(lambda k: Env.reset(env, k)))(keys)
+  T = 8
+  acts = jnp.concatenate([
+      jax.random.uniform(jax.random.PRNGKey(4), (4, B, env.act_size),
+                         minval=-1, maxval=1),
+      jnp.zeros((T - 4, B, env.act_size))], axis=0)
+  has_act = spec.j_act >= 0
+  idx = np.maximum(spec.j_act, 0)
+  ms = jnp.where(jnp.asarray(has_act)[None, None],
+                 jnp.clip(acts, -1, 1)[:, :, idx]
+                 * jnp.asarray(spec.j_speed)[None, None], 0.0)
+
+  outs = {}
+  for flag in ('1', '0'):
+    monkeypatch.setenv('BOXLCD_MEGA_SKIP', flag)
+    rollout = mega.make_rollout(spec, T, interpret=True)
+    new_states, traj = jax.jit(rollout)(states, ms)
+    outs[flag] = (new_states, traj)
+
+  for f in FIELDS:
+    a = np.asarray(getattr(outs['1'][0], f))
+    b = np.asarray(getattr(outs['0'][0], f))
+    # +0.0 normalizes -0.0 so only the sign of exact zeros may differ
+    assert np.array_equal(a + 0.0, b + 0.0), f'state field {f}'
+  for k in outs['1'][1]:
+    a = np.asarray(outs['1'][1][k]) + 0.0
+    b = np.asarray(outs['0'][1][k]) + 0.0
+    assert np.array_equal(a, b), f'traj field {k}'
