@@ -145,7 +145,15 @@ def _build_kernel(spec: WorldSpec, T: int):
   # batch-granular inert-constraint skip (BOXLCD_MEGA_SKIP=0 opts out): wall/
   # pair blocks whose every world in the tile is untouched are guarded by a
   # scalar lax.cond per solver sweep — see the activity-flag comment below.
-  skip_inert = os.environ.get('BOXLCD_MEGA_SKIP', '1') != '0'
+  # BOXLCD_MEGA_SKIP=force keeps the exact same cond-guarded graph but makes
+  # every activity flag true (threshold -1 instead of 0): the branch
+  # structure — and hence XLA's fusion/FMA-contraction choices — is
+  # identical to the default, so "inert blocks are no-ops" is testable
+  # bit-exactly (vs the UNGUARDED kernel, compilation differs at ~1 ulp on
+  # active blocks because cond is a fusion boundary; see test_mega).
+  _skip_mode = os.environ.get('BOXLCD_MEGA_SKIP', '1')
+  skip_inert = _skip_mode != '0'
+  skip_thr = -1.0 if _skip_mode == 'force' else 0.0
 
   kind = [int(spec.shape_static[i]) for i in range(n)]
   is_circ = [k == CIRCLE for k in kind]
@@ -781,8 +789,8 @@ def _build_kernel(spec: WorldSpec, T: int):
             for k in range(2):
               nm = w_nm[wslot(i, wi, k)]
               acc = nm if acc is None else jnp.maximum(acc, nm)
-          w_act.append(jnp.max(acc) > 0.0)
-        p_act = [jnp.max(jnp.maximum(p_nm[2 * q], p_nm[2 * q + 1])) > 0.0
+          w_act.append(jnp.max(acc) > skip_thr)
+        p_act = [jnp.max(jnp.maximum(p_nm[2 * q], p_nm[2 * q + 1])) > skip_thr
                  for q in range(len(pairs))]
         # NGS activity keys on the narrowphase touch masks (the position
         # impulse is where(touch, ..)-masked), per wall-point slot / pair
@@ -793,10 +801,10 @@ def _build_kernel(spec: WorldSpec, T: int):
             for i in range(n):
               t = jnp.where(m_tch[wslot(i, wi, k)], 1.0, 0.0)
               acc = t if acc is None else jnp.maximum(acc, t)
-            ngs_w_act.append(jnp.max(acc) > 0.0)
+            ngs_w_act.append(jnp.max(acc) > skip_thr)
         ngs_p_act = [
-            jnp.max(jnp.where(pman[q]['t1'] | pman[q]['t2'], 1.0, 0.0)) > 0.0
-            for q in range(len(pairs))]
+            jnp.max(jnp.where(pman[q]['t1'] | pman[q]['t2'], 1.0, 0.0))
+            > skip_thr for q in range(len(pairs))]
 
       # ---- joints presolve ----------------------------------------------
       j_rAx = [None] * jn_pad

@@ -131,9 +131,13 @@ def test_mega_collect_layout_and_reset_obs():
 
 def test_mega_skip_inert_bit_exact(monkeypatch):
   """BOXLCD_MEGA_SKIP (batch-granular inert-constraint skip, default on) must
-  be bit-exact vs the unguarded kernel modulo the sign of exact zeros: inert
-  blocks have zero effective masses and cleared accumulators, so every
-  impulse they would apply is exactly 0 (same class as the _cmul fold)."""
+  be bit-exact vs BOXLCD_MEGA_SKIP=force — the SAME cond-guarded graph with
+  every activity flag forced true, so inert blocks actually execute and must
+  be no-ops (zero effective masses + where(touch,..)-masked accumulators).
+  The unguarded (skip=0) kernel is NOT a bit-exact oracle: lax.cond is an
+  XLA fusion boundary, so inlining the sweeps changes FMA-contraction
+  choices by ~1 ulp on ACTIVE blocks; vs skip=0 we only assert a loose
+  tolerance (ulp seed x bounded chaotic growth over the short horizon)."""
   env = boxlcd_tpu.env_map['LuxoCube']()   # walls + body-body pair + joints
   spec = env.spec
   if not mega.supports(spec):
@@ -153,7 +157,7 @@ def test_mega_skip_inert_bit_exact(monkeypatch):
                  * jnp.asarray(spec.j_speed)[None, None], 0.0)
 
   outs = {}
-  for flag in ('1', '0'):
+  for flag in ('1', 'force', '0'):
     monkeypatch.setenv('BOXLCD_MEGA_SKIP', flag)
     rollout = mega.make_rollout(spec, T, interpret=True)
     new_states, traj = jax.jit(rollout)(states, ms)
@@ -161,10 +165,12 @@ def test_mega_skip_inert_bit_exact(monkeypatch):
 
   for f in FIELDS:
     a = np.asarray(getattr(outs['1'][0], f))
-    b = np.asarray(getattr(outs['0'][0], f))
+    b = np.asarray(getattr(outs['force'][0], f))
     # +0.0 normalizes -0.0 so only the sign of exact zeros may differ
     assert np.array_equal(a + 0.0, b + 0.0), f'state field {f}'
+    c = np.asarray(getattr(outs['0'][0], f))
+    assert np.allclose(a, c, atol=5e-4), f'state field {f} vs unguarded'
   for k in outs['1'][1]:
     a = np.asarray(outs['1'][1][k]) + 0.0
-    b = np.asarray(outs['0'][1][k]) + 0.0
+    b = np.asarray(outs['force'][1][k]) + 0.0
     assert np.array_equal(a, b), f'traj field {k}'
