@@ -435,7 +435,7 @@ def _build_kernel(spec: WorldSpec, T: int):
         pty = 0.5 * ((cy[a] + rA * nyv) + (cy[b] - rB * nyv))
         z = jnp.zeros_like(sep)
         return dict(nx=nxv, ny=nyv, p1x=ptx, p1y=pty, p2x=ptx, p2y=pty,
-                    t1=sep <= 0.0, t2=jnp.zeros(sep.shape, bool),
+                    t1=sep <= 0.0, t2=sep > jnp.inf,
                     id1=z, id2=z, mt=0.0, lnx=z, lny=z, lppx=z, lppy=z,
                     l1x=z, l1y=z, l2x=z, l2y=z, rs=rA + rB)
 
@@ -483,7 +483,7 @@ def _build_kernel(spec: WorldSpec, T: int):
         return dict(
             nx=-nxv if flip else nxv, ny=-nyv if flip else nyv,
             p1x=ptx, p1y=pty, p2x=ptx, p2y=pty,
-            t1=sep <= 0.0, t2=jnp.zeros(sep.shape, bool),
+            t1=sep <= 0.0, t2=sep > jnp.inf,
             id1=z, id2=z, mt=2.0 if flip else 1.0,
             lnx=ca[i] * nxv + sa[i] * nyv, lny=-sa[i] * nxv + ca[i] * nyv,
             lppx=ca[i] * dlx + sa[i] * dly, lppy=-sa[i] * dlx + ca[i] * dly,

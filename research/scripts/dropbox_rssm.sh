@@ -13,6 +13,16 @@ cd "$(dirname "$0")/../.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 
+# quick validation that the i8->i1 Mosaic fix (bool-constant manifold tiles
+# in mf_cc/mf_pc) lets the pair-env megakernel compile on the real chip —
+# runs here because this is the first TPU slot after the fix landed; the
+# full BENCH_MATRIX pair-row regen is scheduled separately once this passes
+if ! grep -q vs_baseline logs/bench_luxocube_mega.log 2>/dev/null; then
+  timeout --signal=TERM --kill-after=60 1200 \
+    env BENCH_ENV=LuxoCube BENCH_SOLVER=mega python bench.py 2>&1 \
+    | tee -a logs/bench_luxocube_mega.log | tail -3 || true
+fi
+
 if [ ! -d $D/data/train ] || [ "$(ls $D/data/train | wc -l)" -lt 100 ]; then
   python -m research.main --mode=collect --env=Dropbox --logdir=$D/data \
     --train_barrels=100 --test_barrels=10 --num_envs=4000 \
