@@ -206,9 +206,19 @@ def main():
     # env x {iters, solver, convergence-exit} matrix; 'solver' labels the
     # path that actually ran (mega = fused rollout kernel + traj raster,
     # jnp = per-step scan fallback). LuxoCube/Object3 ride the mega path
-    # since v2 (body-body pairs + random shapes).
+    # since v2 (body-body pairs + random shapes). BENCH_MATRIX_ENVS selects
+    # a subset to (re)measure; rows for other envs are kept from the
+    # existing BENCH_MATRIX.json so the matrix regenerates incrementally.
+    menvs = os.environ.get('BENCH_MATRIX_ENVS',
+                           'Urchin,LuxoCube,Object3,Bounce2').split(',')
+    try:
+      with open('BENCH_MATRIX.json') as f:
+        kept = [r for r in json.load(f)
+                if 'exit_tol' in r and r['env'] not in menvs]
+    except Exception:
+      kept = []
     rows = []
-    for ename in ('Urchin', 'LuxoCube', 'Object3', 'Bounce2'):
+    for ename in menvs:
       for vi, pi, kind, tol in ((8, 4, 'auto', 0.0), (8, 4, 'jnp', 0.0),
                                 (180, 60, 'auto', 0.0),
                                 (180, 60, 'auto', 1e-4)):
@@ -228,7 +238,7 @@ def main():
                      'steps_per_sec': round(sps, 1)})
         print(rows[-1], file=sys.stderr)
     with open('BENCH_MATRIX.json', 'w') as f:
-      json.dump(rows, f, indent=1)
+      json.dump(kept + rows, f, indent=1)
 
   from boxlcd_tpu.utils import retry_transient
   steps_per_sec, solver_used = retry_transient(
