@@ -222,6 +222,9 @@ def main():
       for vi, pi, kind, tol in ((8, 4, 'auto', 0.0), (8, 4, 'jnp', 0.0),
                                 (180, 60, 'auto', 0.0),
                                 (180, 60, 'auto', 1e-4)):
+        if kind == 'jnp' and rows and rows[-1].get('solver') == 'jnp' \
+            and rows[-1]['env'] == ename:
+          continue  # auto already fell back to jnp; skip before measuring
         try:
           sps, solver_used = measure(ename, vi, pi, kind, B, T, exit_tol=tol)
         except Exception as e:  # one bad config must not kill the matrix
@@ -230,9 +233,6 @@ def main():
                        'error': repr(e)[:200]})
           print(rows[-1], file=sys.stderr)
           continue
-        if kind == 'jnp' and rows and rows[-1]['solver'] == 'jnp' \
-            and rows[-1]['env'] == ename:
-          continue  # auto already fell back to jnp; skip the duplicate
         rows.append({'env': ename, 'vel_iters': vi, 'pos_iters': pi,
                      'solver': solver_used, 'exit_tol': tol, 'worlds': B,
                      'steps_per_sec': round(sps, 1)})

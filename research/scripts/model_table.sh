@@ -93,23 +93,26 @@ python -m research.scripts.metrics_table --logdir=$WORK/eval \
   --models=RSSM,FIT,FBT,FRNLD --envs=${ENVS// /,}
 echo "=== model_table complete: $WORK"
 
-# one-shot rider (round 4): regenerate the pair-env BENCH_MATRIX rows on the
-# mega path after the Mosaic i8->i1 manifold fix — only if the on-chip
-# LuxoCube compile check passed and the matrix still lacks mega rows for a
-# pair env (the pre-fix regen fell back to jnp there). Incremental:
-# BENCH_MATRIX_ENVS keeps the other envs' rows.
-if grep -q vs_baseline logs/bench_luxocube_mega.log 2>/dev/null && \
-   python - <<'EOF'
+# one-shot rider (round 4): regenerate whatever BENCH_MATRIX rows are still
+# missing a mega-path measurement at HEAD (the pre-Mosaic-fix regen fell
+# back to jnp on pair envs and could be cap-killed before writing anything).
+# Only runs once the on-chip LuxoCube compile check validated the fix.
+# Incremental: BENCH_MATRIX_ENVS keeps the other envs' rows.
+NEED=$(python - <<'EOF'
 import json
-rows = json.load(open('BENCH_MATRIX.json'))
+try:
+  rows = json.load(open('BENCH_MATRIX.json'))
+except Exception:
+  rows = []
 have = {(r['env'], r.get('solver')) for r in rows if 'exit_tol' in r}
-need = [e for e in ('LuxoCube', 'Object3', 'Bounce2')
-        if (e, 'mega') not in have]
-raise SystemExit(0 if need else 1)
+print(','.join(e for e in ('Urchin', 'LuxoCube', 'Object3', 'Bounce2')
+               if (e, 'mega') not in have))
 EOF
-then
-  echo "=== pair-env matrix row regen (post-Mosaic-fix)"
-  timeout --signal=TERM --kill-after=90 3600 env BENCH_MATRIX=1 \
-    BENCH_MATRIX_ENVS=LuxoCube,Object3,Bounce2 python bench.py 2>&1 \
+) || NEED=""
+if [ -n "$NEED" ] && grep -q vs_baseline logs/bench_luxocube_mega.log \
+    2>/dev/null; then
+  echo "=== matrix row regen for: $NEED (post-Mosaic-fix)"
+  timeout --signal=TERM --kill-after=90 5400 env BENCH_MATRIX=1 \
+    BENCH_MATRIX_ENVS="$NEED" python bench.py 2>&1 \
     | tee -a logs/bench_matrix_pairs.log | tail -4 || true
 fi
