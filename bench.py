@@ -237,8 +237,10 @@ def main():
                      'solver': solver_used, 'exit_tol': tol, 'worlds': B,
                      'steps_per_sec': round(sps, 1)})
         print(rows[-1], file=sys.stderr)
-    with open('BENCH_MATRIX.json', 'w') as f:
-      json.dump(kept + rows, f, indent=1)
+        # write incrementally: a deadline kill mid-matrix keeps every
+        # completed row (the merge above keeps other envs' rows)
+        with open('BENCH_MATRIX.json', 'w') as f:
+          json.dump(kept + rows, f, indent=1)
 
   from boxlcd_tpu.utils import retry_transient
   steps_per_sec, solver_used = retry_transient(
