@@ -31,19 +31,44 @@ import time
 # the real TPU (ambient JAX_PLATFORMS=axon); fall back to cpu if unavailable
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 
-# the axon tunnel (a socket relay on 127.0.0.1:8082+) can die; jax init then
-# HANGS instead of erroring, so probe the relay first and fail over to CPU
+# the axon tunnel (a socket relay on 127.0.0.1:8082+) can die OR wedge: when
+# the remote side is in limbo the relay port still ACCEPTS but jax init hangs
+# forever in a futex wait (observed post-VM-reset, round 4). A port probe
+# cannot detect that, so prove the backend end-to-end: a subprocess runs one
+# tiny device matmul under a hard timeout. Retry a few times (remote limbo
+# clears in minutes) before failing over to CPU.
 if os.environ.get('JAX_PLATFORMS', 'axon') not in ('cpu',):
   import socket as _socket
+  import subprocess as _sp
   _s = _socket.socket()
   _s.settimeout(2)
   try:
     _s.connect(('127.0.0.1', 8082))
+    _port_open = True
   except OSError:
-    print('axon tunnel unreachable; benching on CPU', file=sys.stderr)
-    os.environ['JAX_PLATFORMS'] = 'cpu'
+    _port_open = False
   finally:
     _s.close()
+  _ok = False
+  if _port_open:
+    _probe = ('import jax, numpy as np; '
+              'x = jax.numpy.ones((128, 128)); '
+              'print("AXON-OK", float(np.asarray((x @ x).sum())))')
+    for _i in range(int(os.environ.get('BENCH_PROBE_ATTEMPTS', 3))):
+      try:
+        _r = _sp.run([sys.executable, '-c', _probe], timeout=300,
+                     capture_output=True, text=True)
+        _ok = 'AXON-OK' in _r.stdout
+      except _sp.TimeoutExpired:
+        _ok = False
+      if _ok:
+        break
+      print(f'axon probe {_i} failed (tunnel wedged?); retrying in 60s',
+            file=sys.stderr)
+      time.sleep(60)
+  if not _ok:
+    print('axon tunnel unreachable/wedged; benching on CPU', file=sys.stderr)
+    os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import jax
 import jax.numpy as jnp
@@ -251,12 +276,15 @@ def main():
     suffix += '_exit'
   if os.environ.get('BENCH_RASTER', 'exact') != 'exact':
     suffix += '_fastraster'
-  print(json.dumps({
+  rec = {
       'metric': f'env_steps_per_sec_{env_name.lower()}_{B}{suffix}',
       'value': round(steps_per_sec, 1),
       'unit': 'env-steps/s',
       'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
-  }))
+  }
+  if jax.default_backend() == 'cpu':  # tunnel-wedge fallback: label it
+    rec['metric'] += '_CPU_FALLBACK'
+  print(json.dumps(rec))
 
 
 if __name__ == '__main__':
