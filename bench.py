@@ -244,9 +244,10 @@ def main():
       kept = []
     rows = []
     for ename in menvs:
-      for vi, pi, kind, tol in ((8, 4, 'auto', 0.0), (8, 4, 'jnp', 0.0),
-                                (180, 60, 'auto', 0.0),
-                                (180, 60, 'auto', 1e-4)):
+      # mega rows first: a deadline kill mid-env keeps the headline-path
+      # rows (the slow jnp fallback row measures last)
+      for vi, pi, kind, tol in ((8, 4, 'auto', 0.0), (180, 60, 'auto', 0.0),
+                                (180, 60, 'auto', 1e-4), (8, 4, 'jnp', 0.0)):
         if kind == 'jnp' and rows and rows[-1].get('solver') == 'jnp' \
             and rows[-1]['env'] == ename:
           continue  # auto already fell back to jnp; skip before measuring
