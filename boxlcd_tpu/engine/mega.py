@@ -117,6 +117,17 @@ def _csubc(x, c):
   return x if c == 0.0 else x - c
 
 
+def _bsel(p, a, b):
+  """where(p, a, b) for BOOL tiles a/b, as pure mask logic.
+
+  Mosaic supports vector<i1> as select *predicates* but not as select
+  *data* operands — those get materialized through i8 and the lowering
+  dies with "Unsupported target bitwidth for truncation" (vector i8->i1),
+  which only surfaces on a real-chip compile (interpret mode passes).
+  """
+  return (p & a) | (~p & b)
+
+
 def _to_tiles(x, B):
   """(B, *S) -> (*S, B/128, 128)."""
   s = x.shape[1:]
@@ -588,7 +599,16 @@ def _build_kernel(spec: WorldSpec, T: int):
         use_b = sepB > sepA + 0.1 * LINEAR_SLOP
         mA = clip_face(a, b, faceA, flip=False)
         mB = clip_face(b, a, faceB, flip=True)
-        m = {k2: jnp.where(use_b, mB[k2], mA[k2]) if k2 != 'rs' else total_r
+        # bool tiles must be combined with mask logic, not jnp.where: a
+        # select with vector<i1> DATA operands (as opposed to an i1
+        # predicate over float data) makes Mosaic materialize the bools
+        # through i8 and fail lowering with "Unsupported target bitwidth
+        # for truncation" (same class as the constant-splat t2 bug, fixed
+        # by deriving from compares) — observed on-chip for every pair env
+        m = {k2: (_bsel(use_b, mB[k2], mA[k2])
+                  if getattr(mA[k2], 'dtype', None) == jnp.bool_ else
+                  jnp.where(use_b, mB[k2], mA[k2])) if k2 != 'rs'
+             else total_r
              for k2 in mA}
         m['t1'] = m['t1'] & ~no_contact
         m['t2'] = m['t2'] & ~no_contact
@@ -616,6 +636,8 @@ def _build_kernel(spec: WorldSpec, T: int):
               return mp[f]
             if mp is None:
               return mc[f]
+            if getattr(mc[f], 'dtype', None) == jnp.bool_:
+              return _bsel(iscb[b], mc[f], mp[f])  # no select on i1 data
             return jnp.where(iscb[b], mc[f], mp[f])
           fb = pick(m_cc, m_cp)    # a is a circle
           fa = pick(m_pc, m_pp)    # a is a poly
@@ -623,6 +645,8 @@ def _build_kernel(spec: WorldSpec, T: int):
             out[f] = fa
           elif fa is None:
             out[f] = fb
+          elif getattr(fb, 'dtype', None) == jnp.bool_:
+            out[f] = _bsel(iscb[a], fb, fa)
           else:
             out[f] = jnp.where(iscb[a], fb, fa)
         return out
