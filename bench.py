@@ -63,12 +63,17 @@ if os.environ.get('JAX_PLATFORMS', 'axon') not in ('cpu',):
         _ok = False
       if _ok:
         break
-      print(f'axon probe {_i} failed (tunnel wedged?); retrying in 60s',
+      print(f'axon probe {_i} failed (tunnel wedged?); retrying',
             file=sys.stderr)
-      time.sleep(60)
+      if _i < int(os.environ.get('BENCH_PROBE_ATTEMPTS', 3)) - 1:
+        time.sleep(60)  # no point sleeping after the final attempt
   if not _ok:
     print('axon tunnel unreachable/wedged; benching on CPU', file=sys.stderr)
     os.environ['JAX_PLATFORMS'] = 'cpu'
+    CPU_FELL_BACK = True  # distinguishes wedge fallback from deliberate cpu
+
+if 'CPU_FELL_BACK' not in dir():
+  CPU_FELL_BACK = False
 
 import jax
 import jax.numpy as jnp
@@ -211,6 +216,42 @@ def measure(env_name, vel_iters, pos_iters, solver_kind, B, T, iters=3,
   return best, solver_kind
 
 
+MEGA_SMOKE_RESULT = None
+
+
+def mega_smoke():
+  """Compile-and-run the fused rollout megakernel on-chip for one env of
+  each contact-manifold shape class (robot self-pairs / robot+object pairs /
+  random-shape objects). Mosaic lowering bugs (e.g. the round-4 i8->i1
+  truncation failures) appear ONLY on real hardware — interpret mode and CPU
+  tests cannot catch them — so this stage runs in every driver bench.
+  Cheap after the first run (persistent compile cache)."""
+  global MEGA_SMOKE_RESULT
+  from boxlcd_tpu.engine import mega
+  results = []
+  for ename in ('Urchin', 'LuxoCube', 'Object3'):
+    try:
+      env = boxlcd_tpu.env_map[ename]({})
+      spec = env.spec
+      if not mega.supports(spec):
+        results.append(f'{ename}:unsupported')
+        continue
+      Bs = mega.BLOCK
+      T = 4
+      rollout = mega.make_rollout(spec, T)
+      keys = jax.random.split(jax.random.PRNGKey(0), Bs)
+      states = jax.jit(jax.vmap(lambda k: Env.reset(env, k)))(keys)
+      ms = jnp.zeros((T, Bs, len(spec.j_parent)))
+      _, traj = jax.jit(rollout)(states, ms)
+      assert np.isfinite(np.asarray(traj['c'].sum()))
+      results.append(f'{ename}:ok')
+    except Exception as e:
+      results.append(f'{ename}:FAIL:{type(e).__name__}')
+      print(f'mega smoke FAILED for {ename}: {e!r}'[:500], file=sys.stderr)
+  MEGA_SMOKE_RESULT = ','.join(results)
+  print(f'mega compile smoke: {MEGA_SMOKE_RESULT}', file=sys.stderr)
+
+
 def main():
   B = int(os.environ.get('BENCH_WORLDS', 4096))
   env_name = os.environ.get('BENCH_ENV', 'Urchin')
@@ -248,9 +289,11 @@ def main():
       # rows (the slow jnp fallback row measures last)
       for vi, pi, kind, tol in ((8, 4, 'auto', 0.0), (180, 60, 'auto', 0.0),
                                 (180, 60, 'auto', 1e-4), (8, 4, 'jnp', 0.0)):
-        if kind == 'jnp' and rows and rows[-1].get('solver') == 'jnp' \
-            and rows[-1]['env'] == ename:
-          continue  # auto already fell back to jnp; skip before measuring
+        if kind == 'jnp' and any(
+            r.get('env') == ename and r.get('vel_iters') == vi
+            and r.get('pos_iters') == pi and r.get('solver') == 'jnp'
+            and r.get('exit_tol') == tol for r in rows):
+          continue  # an auto row already fell back to this exact jnp config
         try:
           sps, solver_used = measure(ename, vi, pi, kind, B, T, exit_tol=tol)
         except Exception as e:  # one bad config must not kill the matrix
@@ -268,6 +311,10 @@ def main():
         with open('BENCH_MATRIX.json', 'w') as f:
           json.dump(kept + rows, f, indent=1)
 
+  if (int(os.environ.get('BENCH_MEGA_SMOKE', 1))
+      and jax.default_backend() != 'cpu'):
+    mega_smoke()
+
   from boxlcd_tpu.utils import retry_transient
   steps_per_sec, solver_used = retry_transient(
       lambda: measure(env_name, vel, pos, solver_kind, B, T),
@@ -283,8 +330,10 @@ def main():
       'unit': 'env-steps/s',
       'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
   }
-  if jax.default_backend() == 'cpu':  # tunnel-wedge fallback: label it
+  if CPU_FELL_BACK:  # tunnel-wedge fallback (not a deliberate cpu run)
     rec['metric'] += '_CPU_FALLBACK'
+  if MEGA_SMOKE_RESULT is not None:
+    rec['mega_smoke'] = MEGA_SMOKE_RESULT
   print(json.dumps(rec))
 
 

@@ -54,6 +54,8 @@ def rl_config():
   _G.firehose = 0
   _G.fused_rollout = 1  # one-dispatch on-device PPO epoch rollouts
   _G.resume = 0  # 1: resume from logdir/ppo_last.pkl if present (epoch kept)
+  _G.early_stop_succ = 0.0  # >0: stop once real-test success holds >= this
+  _G.early_stop_n = 4       # ... for this many consecutive test cycles
   return _G
 
 

@@ -437,6 +437,7 @@ class PPO(RLAlgo):
       self._best_succ = succ
       self.save(G.logdir)
     self.save(G.logdir, name='ppo_last.pkl')
+    return succ
 
   def run(self):
     G = self.G
@@ -454,6 +455,13 @@ class PPO(RLAlgo):
     o = None if fused_lenv else self.env.reset()
     ep_ret = np.zeros(G.num_envs)
     ep_len = np.zeros(G.num_envs)
+    # wall-clock-aware convergence stop: --early_stop_succ=S stops training
+    # once the REAL-env test success is >= S for --early_stop_n consecutive
+    # test cycles (the N=1000 eval_policy protocol remains the headline
+    # gate; this only truncates the flat tail of the training curve)
+    stop_succ = float(G.get('early_stop_succ', 0.0))
+    stop_n = int(G.get('early_stop_n', 4))
+    streak = 0
     for epoch in range(getattr(self, '_start_epoch', 0), epochs):
       self._epoch = epoch
       ep_start = time.time()
@@ -465,7 +473,13 @@ class PPO(RLAlgo):
         self.update()
         self.logger['dt/epoch'] = time.time() - ep_start
         if epoch % G.test_n == 0:
-          self._test_and_save(epoch)
+          succ = self._test_and_save(epoch)
+          streak = streak + 1 if (stop_succ and succ >= stop_succ) else 0
+          if stop_succ and streak >= stop_n:
+            print(f'EARLY STOP: test success >= {stop_succ} for {streak} '
+                  f'consecutive tests (epoch {epoch})')
+            self.save(G.logdir, name='ppo_last.pkl')
+            return
         continue
       for t in range(self.steps_per_epoch):
         a, v, logp = self.get_av(o)
@@ -501,5 +515,11 @@ class PPO(RLAlgo):
       self.update()
       self.logger['dt/epoch'] = time.time() - ep_start
       if epoch % G.test_n == 0:
-        self._test_and_save(epoch)
+        succ = self._test_and_save(epoch)
+        streak = streak + 1 if (stop_succ and succ >= stop_succ) else 0
+        if stop_succ and streak >= stop_n:
+          print(f'EARLY STOP: test success >= {stop_succ} for {streak} '
+                f'consecutive tests (epoch {epoch})')
+          self.save(G.logdir, name='ppo_last.pkl')
+          return
     self.save(G.logdir, name='ppo_last.pkl')

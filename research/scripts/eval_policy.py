@@ -63,10 +63,12 @@ def main():
     cli = {k: G[k] for k in ('logdir', 'seed', 'test_deterministic', 'algo')}
     merged = {**dict(G), **dict(saved), **cli}
     # eval always runs on the REAL sim on this one chip
+    trained_lenv = int(merged.get('lenv', 0) or 0)
     merged.update(lenv=0, mesh='', fused_rollout=0)
     from boxlcd_tpu.utils import AttrDict
     G = AttrDict(merged)
     G.logdir = Path(G.logdir)
+    G.trained_lenv = trained_lenv
   # load the trained policy
   if G.algo == 'ppo':
     from research.rl.ppo import PPO
@@ -83,6 +85,34 @@ def main():
   out.parent.mkdir(parents=True, exist_ok=True)
   with open(out, 'wb') as f:
     pickle.dump({'success_rate': float(rate)}, f)
+  # durable in-tree evidence (survives /root/work wipes): every headline
+  # number must trace back to a committed artifact in logs/evidence/
+  import hashlib
+  import json
+  import time
+  ev_dir = Path(__file__).resolve().parents[2] / 'logs' / 'evidence'
+  ev_dir.mkdir(parents=True, exist_ok=True)
+  digest = (hashlib.sha256(ckpt.read_bytes()).hexdigest()[:16]
+            if ckpt.exists() else None)
+  ev = {
+      'protocol': 'eval_policy N=1000 real-sim success',
+      'env': str(G.env), 'algo': str(G.algo),
+      'trained_in': 'learned_sim' if int(G.get('trained_lenv', 0) or 0) else
+                    'real_sim',
+      'success_rate': float(rate), 'episodes': N_ENVS * ITERS,
+      'seed': int(G.seed),
+      'total_steps': int(G.get('total_steps', 0)),
+      'num_envs': int(G.get('num_envs', 0)),
+      'vel_iters': int(G.get('vel_iters', 0)),
+      'pos_iters': int(G.get('pos_iters', 0)),
+      'checkpoint': str(ckpt), 'checkpoint_sha256_16': digest,
+      'time': time.strftime('%Y-%m-%d %H:%M:%S'),
+  }
+  name = (f"eval_{G.env}_{G.algo}_{ev['trained_in']}"
+          f"_v{ev['vel_iters']}p{ev['pos_iters']}.json")
+  with open(ev_dir / name, 'w') as f:
+    json.dump(ev, f, indent=1)
+  print('EVIDENCE', ev_dir / name)
 
 
 if __name__ == '__main__':

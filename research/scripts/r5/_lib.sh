@@ -1,0 +1,38 @@
+# Shared helpers for round-5 stages (sourced; runner exports R5_TPU_DEADLINE
+# and R5_HARD_END). All stages run from the repo root.
+cd "$(dirname "${BASH_SOURCE[0]}")/../../.."
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+mkdir -p logs/evidence
+
+tpu_left() { echo $(( R5_TPU_DEADLINE - $(date +%s) )); }
+
+tpu_guard() {  # exit the stage early if the TPU window is (nearly) spent
+  if [ "$(tpu_left)" -lt "${1:-420}" ]; then
+    echo "=== tpu_guard: only $(tpu_left)s of TPU window left; skipping"
+    exit 99
+  fi
+}
+
+cap_tpu() {  # min(requested cap, remaining TPU window)
+  local want=$1 left
+  left=$(tpu_left)
+  [ "$want" -gt "$left" ] && want=$left
+  echo "$want"
+}
+
+retry1() {  # retry once on real failures, not on cap-kill (124/137)
+  "$@"
+  local rc=$?
+  if [ $rc -ne 0 ] && [ $rc -ne 124 ] && [ $rc -ne 137 ]; then
+    echo "=== failed rc=$rc; retrying once in 120s" >&2
+    sleep 120
+    "$@"; rc=$?
+  fi
+  return $rc
+}
+
+commit_evidence() {  # commit durable artifacts; never fail the stage
+  git add -A logs/evidence logs/figs BENCH_MATRIX.json 2>/dev/null
+  git diff --cached --quiet || git commit -m "$1" || true
+}
