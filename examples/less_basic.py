@@ -3,7 +3,8 @@
 With pyglet + a display: a live window with the reference's key bindings —
   0      reset env            SPACE  pause (RIGHT single-steps while paused)
   1      toggle reset-on-done O      toggle obs printing
-  S / F  slower / faster      ESC    quit
+  S / F  slower / faster      P      toggle matplotlib frame plotting
+  ESC    quit
 Without a display (headless CI/TPU hosts): falls back to scripted actions
 and writes the rollout as a gif, so the example always runs.
 """
@@ -40,6 +41,7 @@ def run_interactive(env, args):
   paused = False
   reset_on_done = True
   obs_log = False
+  plotting = False
   delay = 1.0 / (2 * env.G.fps)
   past = {}
   ret = 0.0
@@ -53,6 +55,8 @@ def run_interactive(env, args):
       paused = not paused
     if check(KEY.O):
       obs_log = not obs_log
+    if check(KEY.P):
+      plotting = not plotting
     if check(KEY._1):
       reset_on_done = not reset_on_done
     if check(KEY.ESCAPE):
@@ -70,7 +74,11 @@ def run_interactive(env, args):
         print('episode return', ret)
         ret = 0.0
         env.reset()
-    env.render('human')
+    img = env.render('human')
+    if plotting:
+      import matplotlib.pyplot as plt
+      plt.imshow(img)
+      plt.show()
     time.sleep(delay)
     past = cur
 
