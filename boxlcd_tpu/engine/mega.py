@@ -903,10 +903,22 @@ def _build_kernel(spec: WorldSpec, T: int):
       # spec.solver_exit_tol > 0 the loop becomes a while with a convergence
       # exit: dm accumulates the iteration's largest |impulse delta|
       # elementwise over the worlds tile, reduced to one scalar per trip.
-      def vel_body_core(vcarry):
+      def vel_body_core(vcarry, compute_dm=True):
+        # compute_dm=False (the fixed-trip-count fori path) drops every
+        # |impulse-delta| max-reduction at TRACE time: the residual only
+        # feeds the exit_tol while-loop condition, and Mosaic is not
+        # guaranteed to DCE the dead chain inside the kernel. State math is
+        # untouched (dm never feeds velocities/impulses), so this is exact.
         vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct = \
             [list(x) for x in vcarry]
         dm = jnp.zeros_like(vx[0])
+
+        def upd_dm(dm, *vals):
+          if not compute_dm:
+            return dm
+          for v in vals:
+            dm = jnp.maximum(dm, jnp.abs(v))
+          return dm
         # joints (motor, limit, 2x2 point)
         for jd in joints:
           j, pa, ch = jd['j'], jd['pa'], jd['ch']
@@ -921,7 +933,7 @@ def _build_kernel(spec: WorldSpec, T: int):
             jmot[j] = new
             om[pa] = om[pa] - iA * d
             om[ch] = om[ch] + iB * d
-            dm = jnp.maximum(dm, jnp.abs(d))
+            dm = upd_dm(dm, d)
           # coupled limit+point solve (b2RevoluteJoint 3x3; _joint_block)
           cdx = vx[ch] - om[ch] * j_rBy[j] - (vx[pa] - om[pa] * j_rAy[j])
           cdy = vy[ch] + om[ch] * j_rBx[j] - (vy[pa] + om[pa] * j_rAx[j])
@@ -943,8 +955,7 @@ def _build_kernel(spec: WorldSpec, T: int):
           vy[ch] = vy[ch] + mB * py
           om[pa] = om[pa] - iA * (j_rAx[j] * py - j_rAy[j] * px + dz)
           om[ch] = om[ch] + iB * (j_rBx[j] * py - j_rBy[j] * px + dz)
-          dm = jnp.maximum(dm, jnp.maximum(
-              jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(dz))))
+          dm = upd_dm(dm, px, py, dz)
         # wall contacts: friction both points, then normal block pair. Each
         # wall's sweep is a function of (vx, vy, om, the wall's 2n wcn/wct
         # slots, dm) so the skip path can guard it with one scalar cond.
@@ -966,7 +977,7 @@ def _build_kernel(spec: WorldSpec, T: int):
               new = jnp.clip(ct[c] + lam, -maxf, maxf)
               d = new - ct[c]
               ct[c] = new
-              dm = jnp.maximum(dm, jnp.abs(d))
+              dm = upd_dm(dm, d)
               if tx != 0.0:
                 vx[i] = vx[i] + _cmul(tx, im * d)
               if ty != 0.0:
@@ -1017,7 +1028,7 @@ def _build_kernel(spec: WorldSpec, T: int):
                 + _csub2(_cmul(ny, w_rBx[s2]), _cmul(nx, w_rBy[s2])) * d2)
             cn[c1] = a1 + d1
             cn[c2] = a2 + d2
-            dm = jnp.maximum(dm, jnp.maximum(jnp.abs(d1), jnp.abs(d2)))
+            dm = upd_dm(dm, d1, d2)
           return (tuple(vx), tuple(vy), tuple(om), tuple(cn), tuple(ct), dm)
 
         for wi in range(nw):
@@ -1070,7 +1081,7 @@ def _build_kernel(spec: WorldSpec, T: int):
             vyb = vyb + imB * Py
             oma = oma - iiA * (p_rAx[s] * Py - p_rAy[s] * Px)
             omb = omb + iiB * (p_rBx[s] * Py - p_rBy[s] * Px)
-            dm = jnp.maximum(dm, jnp.abs(d))
+            dm = upd_dm(dm, d)
           s1, s2 = 2 * q, 2 * q + 1
           a1, a2 = cn[0], cn[1]
           # sequential candidate (virtual application in order)
@@ -1155,7 +1166,8 @@ def _build_kernel(spec: WorldSpec, T: int):
         vcarry = fin[2:]
       else:
         vcarry = jax.lax.fori_loop(
-            0, vel_iters, lambda _, c: vel_body_core(c)[0], vinit)
+            0, vel_iters,
+            lambda _, c: vel_body_core(c, compute_dm=False)[0], vinit)
       vx, vy, om, wcn, wct, jix, jiy, jmot, jlim, pcn, pct = \
           [list(x) for x in vcarry]
 
