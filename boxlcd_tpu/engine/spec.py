@@ -13,6 +13,7 @@ Semantics compiled here mirror the reference env construction
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -20,6 +21,14 @@ import numpy as np
 from boxlcd_tpu import utils
 from boxlcd_tpu.engine import geom
 from boxlcd_tpu.world_defs import ROBOT_FILLER, ShapeSpec, WorldDef
+
+# Default solver iterations when G does not set vel_iters/pos_iters.
+# The reference runs Box2D at Step(dt, 180, 60) unconditionally
+# (boxLCD/world_env.py:446-452). BOXLCD_DEFAULT_ITERS="v,p" overrides the
+# DEFAULT only — explicit G keys always win; tests/conftest.py pins "8,4"
+# so the 1-core CPU suite stays tractable.
+DEFAULT_ITERS = tuple(
+    int(x) for x in os.environ.get('BOXLCD_DEFAULT_ITERS', '8,4').split(','))
 
 # shape flags
 CIRCLE, POLY, RANDOM = 0, 1, 2
@@ -471,7 +480,8 @@ def compile_world(world_def: WorldDef, G: utils.AttrDict) -> WorldSpec:
       pair_a=_i(pair_a), pair_b=_i(pair_b), pair_valid=pair_valid,
       wall_normal=wall_normal, wall_offset=wall_offset,
       gravity=_f(world_def.gravity), dt=float(dt), substeps=int(substeps),
-      vel_iters=int(G.get('vel_iters', 8)), pos_iters=int(G.get('pos_iters', 4)),
+      vel_iters=int(G.get('vel_iters', DEFAULT_ITERS[0])),
+      pos_iters=int(G.get('pos_iters', DEFAULT_ITERS[1])),
       solver_exit_tol=float(G.get('solver_exit_tol', 0.0)),
       width=width, height=height,
       role=_i(role), root_of=_i(root_of), parent_of=_i(parent_of),

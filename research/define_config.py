@@ -105,9 +105,12 @@ def config():
   G.kl_scale = 1.0
   G.autoreset = 0
 
-  # solver iteration knobs (TPU engine; reference ran Box2D at 180/60)
-  G.vel_iters = 8
-  G.pos_iters = 4
+  # solver iteration knobs (TPU engine; the reference runs Box2D at 180/60
+  # — the default follows boxlcd_tpu.engine.spec.DEFAULT_ITERS, overridable
+  # via BOXLCD_DEFAULT_ITERS; --vel_iters/--pos_iters always win)
+  from boxlcd_tpu.engine.spec import DEFAULT_ITERS
+  G.vel_iters = DEFAULT_ITERS[0]
+  G.pos_iters = DEFAULT_ITERS[1]
   # >0: velocity-loop convergence exit at this impulse-delta tol + exact
   # Box2D NGS break (see WorldSpec.solver_exit_tol); 0 = fixed trip counts
   G.solver_exit_tol = 0.0

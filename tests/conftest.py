@@ -16,6 +16,10 @@ if 'host_platform_device_count' not in flags:
 # test runs must not re-pay XLA compiles
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+# pin the DEFAULT solver iterations to the fast config for suite runtime on
+# the 1-core host — parity/golden tests that need the reference's 180/60
+# pass --vel_iters/--pos_iters explicitly and are unaffected
+os.environ.setdefault('BOXLCD_DEFAULT_ITERS', '8,4')
 
 import jax  # noqa: E402
 
