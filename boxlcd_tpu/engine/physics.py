@@ -92,6 +92,79 @@ def _block_lcp(b1, b2, a1, a2, k11, k22, k12, nm1, nm2):
   return x1 - a1, x2 - a2
 
 
+def _block_lcp_pre(b1, b2, a1, a2, k11, k22, k12, i11, i12, i22, nm1, nm2):
+  """_block_lcp with the 2x2 inverse prefactored (i11=k22/det, i12=k12/det,
+  i22=k11/det, guarded like _block_lcp's idet). The effective-mass matrix is
+  constant across a substep's velocity sweeps (Box2D precomputes it in
+  b2ContactSolver::InitializeVelocityConstraints), so the megakernel hoists
+  the determinant + divide out of the 180-iteration loop; results differ
+  from _block_lcp only by mul-by-reciprocal reassociation (ulp class)."""
+  b1p = b1 - (k11 * a1 + k12 * a2)
+  b2p = b2 - (k12 * a1 + k22 * a2)
+  x1_1 = -(i11 * b1p - i12 * b2p)
+  x2_1 = -(i22 * b2p - i12 * b1p)
+  ok1 = (x1_1 >= 0.0) & (x2_1 >= 0.0)
+  x1_2 = -nm1 * b1p
+  ok2 = (x1_2 >= 0.0) & (k12 * x1_2 + b2p >= 0.0)
+  x2_3 = -nm2 * b2p
+  ok3 = (x2_3 >= 0.0) & (k12 * x2_3 + b1p >= 0.0)
+  ok4 = (b1p >= 0.0) & (b2p >= 0.0)
+  x1 = jnp.where(ok1, x1_1,
+                 jnp.where(ok2, x1_2,
+                           jnp.where(ok3, 0.0, jnp.where(ok4, 0.0, a1))))
+  x2 = jnp.where(ok1, x2_1,
+                 jnp.where(ok2, 0.0,
+                           jnp.where(ok3, x2_3, jnp.where(ok4, 0.0, a2))))
+  return x1 - a1, x2 - a2
+
+
+def joint_block_prefactor(k11, k12, k13, k22, k23, k33):
+  """Prefactor the revolute 3x3 effective mass for _joint_block_pre: the
+  Cramer cofactors/determinants of _joint_block divided through once (they
+  are constant across a substep's velocity iterations). Returns the tuple
+  _joint_block_pre expects after (state, cd1x, cd1y, cd2, jlim)."""
+  a11 = k22 * k33 - k23 * k23
+  a12 = k13 * k23 - k12 * k33
+  a13 = k12 * k23 - k13 * k22
+  a22 = k11 * k33 - k13 * k13
+  a23 = k13 * k12 - k11 * k23
+  a33 = k11 * k22 - k12 * k12
+  det3 = k11 * a11 + k12 * a12 + k13 * a13
+  det3 = jnp.where(jnp.abs(det3) > 1e-12, det3, 1.0)
+  det2 = k11 * k22 - k12 * k12
+  det2 = jnp.where(jnp.abs(det2) > 1e-12, det2, 1.0)
+  return (a11 / det3, a12 / det3, a13 / det3, a22 / det3, a23 / det3,
+          a33 / det3, k22 / det2, k12 / det2, k11 / det2, k13, k23)
+
+
+def _joint_block_pre(state, cd1x, cd1y, cd2, jlim,
+                     m11, m12, m13, m22, m23, m33, e11, e12, e22, k13, k23):
+  """_joint_block with the 3x3/2x2 inverses prefactored (see
+  joint_block_prefactor); identical case logic, divides hoisted out of the
+  velocity loop. Differs from _joint_block only by reassociation (ulp)."""
+  ix = -(m11 * cd1x + m12 * cd1y + m13 * cd2)
+  iy = -(m12 * cd1x + m22 * cd1y + m23 * cd2)
+  iz = -(m13 * cd1x + m23 * cd1y + m33 * cd2)
+  r1 = -cd1x + jlim * k13
+  r2 = -cd1y + jlim * k23
+  rx = e11 * r1 - e12 * r2
+  ry = e22 * r2 - e12 * r1
+  new_z = jlim + iz
+  lo_clamp = (state == 1) & (new_z < 0.0)
+  hi_clamp = (state == 2) & (new_z > 0.0)
+  clamp = lo_clamp | hi_clamp
+  dx_act = jnp.where(clamp, rx, ix)
+  dy_act = jnp.where(clamp, ry, iy)
+  dz_act = jnp.where(clamp, -jlim, iz)
+  px = -(e11 * cd1x - e12 * cd1y)
+  py = -(e22 * cd1y - e12 * cd1x)
+  active = state > 0
+  dx = jnp.where(active, dx_act, px)
+  dy = jnp.where(active, dy_act, py)
+  dz = jnp.where(active, dz_act, 0.0)
+  return dx, dy, dz
+
+
 def _joint_block(state, cd1x, cd1y, cd2, jlim,
                  k11, k12, k13, k22, k23, k33):
   """Box2D 2.3's coupled revolute limit+point velocity solve
