@@ -144,3 +144,50 @@ def test_object3_teleport_random_shapes():
   obs2 = env.reset(full_state=target)
   err = np.abs(obs2['full_state'] - target).max()
   assert err < 1e-4, f'teleport roundtrip err {err}'
+
+
+def test_prefactored_solvers_match_originals():
+  """The megakernel's hoisted solves (_joint_block_pre via
+  joint_block_prefactor, _block_lcp_pre) must agree with the per-sweep
+  originals to reassociation noise on random well-conditioned inputs."""
+  import jax.numpy as jnp
+  from boxlcd_tpu.engine.physics import (
+      _block_lcp, _block_lcp_pre, _joint_block, _joint_block_pre,
+      joint_block_prefactor)
+  rng = np.random.RandomState(0)
+  N = 4096
+  # joint block: random SPD-ish 3x3 built like the revolute K
+  mA, mB = rng.uniform(0.5, 3, N), rng.uniform(0.5, 3, N)
+  iA, iB = rng.uniform(0.2, 5, N), rng.uniform(0.2, 5, N)
+  rAx, rAy = rng.uniform(-1, 1, N), rng.uniform(-1, 1, N)
+  rBx, rBy = rng.uniform(-1, 1, N), rng.uniform(-1, 1, N)
+  k11 = mA + mB + iA * rAy ** 2 + iB * rBy ** 2
+  k12 = -iA * rAx * rAy - iB * rBx * rBy
+  k13 = -iA * rAy - iB * rBy
+  k22 = mA + mB + iA * rAx ** 2 + iB * rBx ** 2
+  k23 = iA * rAx + iB * rBx
+  k33 = iA + iB
+  args = [jnp.asarray(x, jnp.float32) for x in
+          (rng.randint(0, 4, N).astype(np.float32),
+           rng.randn(N), rng.randn(N), rng.randn(N), rng.randn(N))]
+  Ks = [jnp.asarray(x, jnp.float32) for x in (k11, k12, k13, k22, k23, k33)]
+  ref = _joint_block(*args, *Ks)
+  pre = _joint_block_pre(*args, *joint_block_prefactor(*Ks))
+  for r, p in zip(ref, pre):
+    d = np.abs(np.asarray(r) - np.asarray(p))
+    assert d.max() < 1e-4, f'joint block mismatch {d.max()}'
+  # contact 2x2 block LCP
+  kn1 = np.float32(rng.uniform(0.5, 5, N))
+  kn2 = np.float32(rng.uniform(0.5, 5, N))
+  c12 = np.float32(rng.uniform(-0.5, 0.5, N))
+  det = kn1 * kn2 - c12 * c12
+  idet = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
+  b1, b2 = np.float32(rng.randn(N)), np.float32(rng.randn(N))
+  a1, a2 = np.float32(rng.uniform(0, 1, N)), np.float32(rng.uniform(0, 1, N))
+  nm1, nm2 = 1.0 / kn1, 1.0 / kn2
+  ref = _block_lcp(b1, b2, a1, a2, kn1, kn2, c12, nm1, nm2)
+  pre = _block_lcp_pre(b1, b2, a1, a2, kn1, kn2, c12,
+                       kn2 * idet, c12 * idet, kn1 * idet, nm1, nm2)
+  for r, p in zip(ref, pre):
+    d = np.abs(np.asarray(r) - np.asarray(p))
+    assert d.max() < 1e-4, f'block lcp mismatch {d.max()}'
