@@ -24,7 +24,7 @@ if [ ! -f "$WORK/bvae/BVAE.pkl" ]; then
   retry1 timeout --signal=TERM --kill-after=90 "$(cap_tpu 3600)" \
     python -m research.main --mode=train --model=BVAE --env=Urchin \
     --datadir=$WORK/data --logdir=$WORK/bvae --total_itr=30000 --bs=32 \
-    --window=5 --log_n=5000 --device_dataset=1 \
+    --window=5 --log_n=15000 --device_dataset=1 \
     --hidden_size=64 --vqK=64 --vqD=16 --nfilter=16 $ITERS || exit 1
 fi
 
@@ -35,7 +35,7 @@ if [ ! -f "$WORK/fbt/FBT.pkl" ]; then
     python -m research.main --mode=train --model=FBT --env=Urchin \
     --datadir=$WORK/data --weightdir=$WORK/bvae --logdir=$WORK/fbt \
     --total_itr=100000 --bs=32 --window=25 --n_embed=512 --n_head=8 \
-    --n_layer=4 --log_n=20000 --device_dataset=1 $ITERS || exit 1
+    --n_layer=4 --log_n=50000 --device_dataset=1 $ITERS || exit 1
 fi
 
 echo "=== PPO in the learned sim (real-env tests @180/60)"
