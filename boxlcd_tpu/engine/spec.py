@@ -28,7 +28,7 @@ from boxlcd_tpu.world_defs import ROBOT_FILLER, ShapeSpec, WorldDef
 # DEFAULT only — explicit G keys always win; tests/conftest.py pins "8,4"
 # so the 1-core CPU suite stays tractable.
 DEFAULT_ITERS = tuple(
-    int(x) for x in os.environ.get('BOXLCD_DEFAULT_ITERS', '8,4').split(','))
+    int(x) for x in os.environ.get('BOXLCD_DEFAULT_ITERS', '180,60').split(','))
 
 # shape flags
 CIRCLE, POLY, RANDOM = 0, 1, 2

@@ -22,7 +22,7 @@ if [ ! -f logs/evidence/collect_luxocube_mega.txt ]; then
   retry1 timeout --signal=TERM --kill-after=90 "$(cap_tpu 2400)" \
     python -m research.main --mode=collect --env=LuxoCube \
     --logdir=/root/work/collect_luxocube --train_barrels=2 --test_barrels=1 \
-    --num_envs=4000 --barrel_format=native 2>&1 \
+    --num_envs=4000 --barrel_format=native --vel_iters=8 --pos_iters=4 2>&1 \
     | tee /tmp/collect_luxocube.log | tail -5
   tail -20 /tmp/collect_luxocube.log > logs/evidence/collect_luxocube_mega.txt
   commit_evidence "Evidence: tripwire-checked mega-path collect on LuxoCube"
