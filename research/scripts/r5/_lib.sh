@@ -4,6 +4,11 @@ cd "$(dirname "${BASH_SOURCE[0]}")/../../.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 mkdir -p logs/evidence
+# live deadline override: stages re-source this file, so writing a new
+# epoch into logs/r5q/TPU_DEADLINE extends/shrinks the TPU window mid-round
+if [ -s logs/r5q/TPU_DEADLINE ]; then
+  R5_TPU_DEADLINE=$(cat logs/r5q/TPU_DEADLINE)
+fi
 
 tpu_left() { echo $(( R5_TPU_DEADLINE - $(date +%s) )); }
 
