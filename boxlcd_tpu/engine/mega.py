@@ -42,8 +42,8 @@ from boxlcd_tpu.engine.collision import POLY_RADIUS
 from boxlcd_tpu.engine.physics import (
     ANGULAR_SLOP, BAUMGARTE, LINEAR_SLOP, MAX_ANGULAR_CORRECTION,
     MAX_LINEAR_CORRECTION, TIME_TO_SLEEP, LIN_SLEEP_TOL_SQ, ANG_SLEEP_TOL_SQ,
-    VELOCITY_THRESHOLD, WorldState, _block_lcp_pre, _joint_block_pre,
-    joint_block_prefactor)
+    VELOCITY_THRESHOLD, WorldState, _block_lcp, _block_lcp_pre,
+    _joint_block, _joint_block_pre, joint_block_prefactor)
 from boxlcd_tpu.engine.spec import CIRCLE, POLY, RANDOM, WorldSpec
 
 import os
@@ -151,6 +151,12 @@ def _build_kernel(spec: WorldSpec, T: int):
   substeps = int(spec.substeps)
   vel_iters = int(spec.vel_iters)
   pos_iters = int(spec.pos_iters)
+  # Prefactor the effective-mass inverses only when many velocity sweeps
+  # amortize it: at 180/60 the hoist removes per-sweep determinants+divides
+  # (+5% measured); at 8/4 the extra presolve tiles raise VMEM/register
+  # pressure and cost far more than 8 sweeps save (-40% measured), so the
+  # low-iteration path keeps the original in-sweep solves.
+  use_prefactor = vel_iters >= 32
   exit_tol = float(getattr(spec, 'solver_exit_tol', 0.0))
   gx, gy = float(spec.gravity[0]), float(spec.gravity[1])
   allow_sleep = bool(spec.allow_sleep)
@@ -729,11 +735,12 @@ def _build_kernel(spec: WorldSpec, T: int):
                   m_tch[wslot(i, wi, 1)] & ~degrade]
           w_k12[i * nw + wi] = k12
           w_blk[i * nw + wi] = blk
-          idet = jnp.where(jnp.abs(det) > 1e-12,
-                           1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-          w_i11[i * nw + wi] = kn[1] * idet
-          w_i12[i * nw + wi] = k12 * idet
-          w_i22[i * nw + wi] = kn[0] * idet
+          if use_prefactor:
+            idet = jnp.where(jnp.abs(det) > 1e-12,
+                             1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+            w_i11[i * nw + wi] = kn[1] * idet
+            w_i12[i * nw + wi] = k12 * idet
+            w_i22[i * nw + wi] = kn[0] * idet
           for k in range(2):
             s = wslot(i, wi, k)
             w_vtch[s] = vtch[k]
@@ -793,11 +800,12 @@ def _build_kernel(spec: WorldSpec, T: int):
         both = m['t1'] & m['t2']
         p_k12[q] = k12
         p_blk[q] = both & cond
-        idet = jnp.where(jnp.abs(det) > 1e-12,
-                         1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-        p_i11[q] = kn[1] * idet
-        p_i12[q] = k12 * idet
-        p_i22[q] = kn[0] * idet
+        if use_prefactor:
+          idet = jnp.where(jnp.abs(det) > 1e-12,
+                           1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+          p_i11[q] = kn[1] * idet
+          p_i12[q] = k12 * idet
+          p_i22[q] = kn[0] * idet
         degrade = both & ~cond
         vtch = [m['t1'], m['t2'] & ~degrade]
         for k in range(2):
@@ -876,14 +884,15 @@ def _build_kernel(spec: WorldSpec, T: int):
         # effective-mass prefactor: constant across the velocity sweeps
         # (Box2D InitVelocityConstraints); hoists ~40 ops + 5 divides per
         # joint out of every one of the vel_iters iterations
-        iA, iB, mA, mB = jd['iA'], jd['iB'], jd['mA'], jd['mB']
-        k11 = mA + mB + iA * j_rAy[j] ** 2 + iB * j_rBy[j] ** 2
-        k12 = -iA * j_rAx[j] * j_rAy[j] - iB * j_rBx[j] * j_rBy[j]
-        k13 = -iA * j_rAy[j] - iB * j_rBy[j]
-        k22 = mA + mB + iA * j_rAx[j] ** 2 + iB * j_rBx[j] ** 2
-        k23 = iA * j_rAx[j] + iB * j_rBx[j]
-        k33 = iA + iB
-        jpre[j] = joint_block_prefactor(k11, k12, k13, k22, k23, k33)
+        if use_prefactor:
+          iA, iB, mA, mB = jd['iA'], jd['iB'], jd['mA'], jd['mB']
+          k11 = mA + mB + iA * j_rAy[j] ** 2 + iB * j_rBy[j] ** 2
+          k12 = -iA * j_rAx[j] * j_rAy[j] - iB * j_rBx[j] * j_rBy[j]
+          k13 = -iA * j_rAy[j] - iB * j_rBy[j]
+          k22 = mA + mB + iA * j_rAx[j] ** 2 + iB * j_rBx[j] ** 2
+          k23 = iA * j_rAx[j] + iB * j_rBx[j]
+          k33 = iA + iB
+          jpre[j] = joint_block_prefactor(k11, k12, k13, k22, k23, k33)
 
       # ---- 5. warm start ------------------------------------------------
       for i in range(n):
@@ -969,8 +978,18 @@ def _build_kernel(spec: WorldSpec, T: int):
           cdx = vx[ch] - om[ch] * j_rBy[j] - (vx[pa] - om[pa] * j_rAy[j])
           cdy = vy[ch] + om[ch] * j_rBx[j] - (vy[pa] + om[pa] * j_rAx[j])
           cd2 = om[ch] - om[pa]
-          px, py, dz = _joint_block_pre(jstate[j], cdx, cdy, cd2, jlim[j],
-                                        *jpre[j])
+          if use_prefactor:
+            px, py, dz = _joint_block_pre(jstate[j], cdx, cdy, cd2,
+                                          jlim[j], *jpre[j])
+          else:
+            k11 = mA + mB + iA * j_rAy[j] ** 2 + iB * j_rBy[j] ** 2
+            k12 = -iA * j_rAx[j] * j_rAy[j] - iB * j_rBx[j] * j_rBy[j]
+            k13 = -iA * j_rAy[j] - iB * j_rBy[j]
+            k22 = mA + mB + iA * j_rAx[j] ** 2 + iB * j_rBx[j] ** 2
+            k23 = iA * j_rAx[j] + iB * j_rBx[j]
+            k33 = iA + iB
+            px, py, dz = _joint_block(jstate[j], cdx, cdy, cd2, jlim[j],
+                                      k11, k12, k13, k22, k23, k33)
           jix[j] = jix[j] + px
           jiy[j] = jiy[j] + py
           jlim[j] = jlim[j] + dz
@@ -1037,11 +1056,17 @@ def _build_kernel(spec: WorldSpec, T: int):
             vn2 = _cadd2(
                 None if nx == 0.0 else _cmul(nx, vx[i] - om[i] * w_rBy[s2]),
                 None if ny == 0.0 else _cmul(ny, vy[i] + om[i] * w_rBx[s2]))
-            d1b, d2b = _block_lcp_pre(
-                vn1 - w_bias[s1], vn2 - w_bias[s2], a1, a2,
-                w_k[s1], w_k[s2], w_k12[i * nw + wi],
-                w_i11[i * nw + wi], w_i12[i * nw + wi], w_i22[i * nw + wi],
-                w_nm[s1], w_nm[s2])
+            if use_prefactor:
+              d1b, d2b = _block_lcp_pre(
+                  vn1 - w_bias[s1], vn2 - w_bias[s2], a1, a2,
+                  w_k[s1], w_k[s2], w_k12[i * nw + wi],
+                  w_i11[i * nw + wi], w_i12[i * nw + wi],
+                  w_i22[i * nw + wi], w_nm[s1], w_nm[s2])
+            else:
+              d1b, d2b = _block_lcp(
+                  vn1 - w_bias[s1], vn2 - w_bias[s2], a1, a2,
+                  w_k[s1], w_k[s2], w_k12[i * nw + wi],
+                  w_nm[s1], w_nm[s2])
             blk = w_blk[i * nw + wi]
             d1 = jnp.where(blk, d1b, d_seq[0])
             d2 = jnp.where(blk, d2b, d_seq[1])
@@ -1137,10 +1162,15 @@ def _build_kernel(spec: WorldSpec, T: int):
           dv2y = (vyb + omb * p_rBx[s2]) - (vya + oma * p_rAx[s2])
           vn1 = dv1x * nxv + dv1y * nyv
           vn2 = dv2x * nxv + dv2y * nyv
-          d1b, d2b = _block_lcp_pre(vn1 - p_bias[s1], vn2 - p_bias[s2],
-                                    a1, a2, p_k[s1], p_k[s2], p_k12[q],
-                                    p_i11[q], p_i12[q], p_i22[q],
-                                    p_nm[s1], p_nm[s2])
+          if use_prefactor:
+            d1b, d2b = _block_lcp_pre(vn1 - p_bias[s1], vn2 - p_bias[s2],
+                                      a1, a2, p_k[s1], p_k[s2], p_k12[q],
+                                      p_i11[q], p_i12[q], p_i22[q],
+                                      p_nm[s1], p_nm[s2])
+          else:
+            d1b, d2b = _block_lcp(vn1 - p_bias[s1], vn2 - p_bias[s2],
+                                  a1, a2, p_k[s1], p_k[s2], p_k12[q],
+                                  p_nm[s1], p_nm[s2])
           blk = p_blk[q]
           d1 = jnp.where(blk, d1b, d_seq[0])
           d2 = jnp.where(blk, d2b, d_seq[1])
