@@ -108,8 +108,12 @@ def main():
       'checkpoint': str(ckpt), 'checkpoint_sha256_16': digest,
       'time': time.strftime('%Y-%m-%d %H:%M:%S'),
   }
+  # include the run directory in the name so two evals of the same
+  # env/algo/config (e.g. the SAC wedge vs the firehose variant) cannot
+  # clobber each other's evidence
   name = (f"eval_{G.env}_{G.algo}_{ev['trained_in']}"
-          f"_v{ev['vel_iters']}p{ev['pos_iters']}.json")
+          f"_v{ev['vel_iters']}p{ev['pos_iters']}"
+          f"_{Path(G.logdir).parent.name}_{Path(G.logdir).name}.json")
   with open(ev_dir / name, 'w') as f:
     json.dump(ev, f, indent=1)
   print('EVIDENCE', ev_dir / name)
