@@ -118,25 +118,41 @@ def make_device_trainer(model, ds: DeviceDataset, bs, window, chunk,
 
 
 def train_device(model, ds, total_itr, bs, window, chunk=100, log_every=None,
-                 logger_cb=None, data=None):
+                 logger_cb=None, data=None, save_dir=None, save_every=300):
   """Drive run_chunk until total_itr; returns final metrics. `data` overrides
-  ds.data (e.g. a {'z', 'action'} dict of precomputed latents)."""
+  ds.data (e.g. a {'z', 'action'} dict of precomputed latents).
+
+  Resumes from model.step (set by Net.load — full checkpoints carry the
+  step counter, SURVEY §5.4) and, when save_dir is given, checkpoints every
+  save_every seconds so a killed run loses at most that much progress (the
+  save materializes params on host, which also bounds the async-dispatch
+  queue)."""
   data = ds.data if data is None else data
   step = make_device_trainer(model, ds, bs, window, chunk)
-  key = jax.random.PRNGKey(0)
-  itr = 0
+  itr = int(getattr(model, 'step', 0))
+  if itr:
+    print(f'[device-train] resuming at step {itr}', flush=True)
+  # fold the start step into the stream so a resumed run does not replay the
+  # same batch-sampling key sequence it already consumed
+  key = jax.random.fold_in(jax.random.PRNGKey(0), itr)
+  base = itr
   metrics = {}
   import time
   t0 = time.time()
+  last_save = t0
   while itr < total_itr:
     key, k = jax.random.split(key)
     model.params, model.opt_state, metrics = step(model.params,
                                                   model.opt_state, k, data)
     itr += chunk
+    model.step = itr
     if log_every and itr % log_every < chunk:
-      rate = itr / (time.time() - t0)
+      rate = (itr - base) / (time.time() - t0)
       line = {k2: float(v) for k2, v in metrics.items()}
       print(f'[device-train] itr {itr} ({rate:,.0f} it/s) {line}', flush=True)
       if logger_cb:
         logger_cb(itr, line)
+    if save_dir is not None and time.time() - last_save > save_every:
+      model.save(save_dir)
+      last_save = time.time()
   return metrics

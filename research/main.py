@@ -79,6 +79,13 @@ def main(argv=None):
     from research.runners import Trainer
     model = net_map[G.model](env, G)
     print(f'{G.model}: {model.num_vars:,} params')
+    from pathlib import Path as _P
+    if (_P(G.logdir) / f'{G.model}.pkl').exists():
+      # auto-resume: a checkpoint in the logdir means a prior (possibly
+      # killed) run of this config — restore params+opt_state+step+RNG and
+      # continue toward total_itr (SURVEY §5.4 mid-run resume)
+      model.load(G.logdir)
+      print(f'RESUMING {G.model} at step {model.step}')
     if G.get('device_dataset', 0):
       # HBM-resident dataset + on-device window sampling: zero host
       # round-trips per update (the round-1 e2e fast path, now first-class)
@@ -103,7 +110,7 @@ def main(argv=None):
         chunk = min(100, int(G.total_itr))
       train_device(model, ds, int(G.total_itr), bs=G.bs, window=G.window,
                    chunk=chunk, log_every=int(G.log_n), logger_cb=cb,
-                   data=data)
+                   data=data, save_dir=G.logdir)
       model.save(G.logdir)
     else:
       Trainer(model, env, G).run()

@@ -140,8 +140,13 @@ class Net:
             'step': int(self.step),
             'key': np.asarray(self.key),
             'G': dict(self.G)}
-    with open(path, 'wb') as f:
+    # atomic: mid-run checkpoints race with SIGTERM/SIGKILL (timeout-sliced
+    # training); a torn pickle would poison every subsequent auto-resume
+    tmp = direc / f'.{self.name}.pkl.tmp'
+    with open(tmp, 'wb') as f:
       pickle.dump(blob, f)
+    import os
+    os.replace(tmp, path)
     print('SAVED MODEL', path)
 
   def load(self, direc, resume=True):

@@ -21,21 +21,23 @@ EOF
 }
 
 chunk_train() {  # $1=model $2=logdir $3=total_itr $4=chunk_s $5...=flags
+  # resume is automatic: research.main reloads an existing <logdir>/<M>.pkl
+  # (params+opt_state+step+RNG) and train_device checkpoints every 300s, so
+  # each timeout slice continues where the last one died. --weightdir stays
+  # reserved for the FBT/FRNLD encoder (fbt.py:91, frnld.py:49).
   local M=$1 LD=$2 TOT=$3 CHUNK=$4; shift 4
-  local S S2 rc W CAP LEFT
+  local S S2 rc CAP LEFT
   while :; do
     S=$(step_of $LD/$M.pkl)
     [ "$S" -ge "$TOT" ] && return 0
     LEFT=$(tpu_left)
     [ $(( LEFT - 900 )) -lt 300 ] && return 1
     CAP=$(( LEFT - 900 )); [ $CAP -gt $CHUNK ] && CAP=$CHUNK
-    W=""
-    [ "$S" -gt 0 ] && W="--weightdir=$LD"
     echo "=== [Bounce] $M slice from step $S cap=${CAP}s $(date)"
     timeout --signal=TERM --kill-after=90 "$CAP" \
       python -m research.main --mode=train --model=$M --env=Bounce \
       --datadir=$D/data --logdir=$LD --total_itr=$TOT --bs=32 \
-      --device_dataset=1 --log_n=5000 "$@" $W
+      --device_dataset=1 --log_n=5000 "$@"
     rc=$?
     S2=$(step_of $LD/$M.pkl)
     echo "=== $M slice rc=$rc step $S -> $S2"
@@ -97,15 +99,8 @@ for PASS in 1 2 3 4 5 6 7 8; do
     esac
     S=$(step_of $D/$M/$M.pkl)
     if [ "$S" -lt 100000 ]; then
-      # NOTE: for FBT/FRNLD the first slice passes --weightdir=<encoder>
-      # (frozen codes); later slices pass --weightdir=$D/$M via chunk_train,
-      # which resumes the video model itself (encoder G is embedded).
-      if [ "$S" -gt 0 ]; then
-        chunk_train $M $D/$M 100000 1800 --window=50 --prompt_n=3 --log_n=20000 \
-          $(echo "$FLAGS" | sed 's/--weightdir=[^ ]*//')
-      else
-        chunk_train $M $D/$M 100000 1800 --window=50 --prompt_n=3 --log_n=20000 $FLAGS
-      fi
+      chunk_train $M $D/$M 100000 1800 --window=50 --prompt_n=3 \
+        --log_n=20000 $FLAGS
       rcx=$?
       S2=$(step_of $D/$M/$M.pkl)
       [ "$S2" -gt "$S" ] && PROGRESS=1
