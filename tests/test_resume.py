@@ -18,12 +18,16 @@ def _step_of(pkl):
 
 def _train(datadir, logdir, total_itr):
   from research.main import main as rmain
+  # pin the dispatch chunk: train_device advances in whole chunks, so a
+  # chunk that does not divide (total_itr - resume_step) overshoots by up
+  # to chunk-1 steps (immaterial at the production 100/100k ratio, but it
+  # would make the exact-step asserts below flaky)
   rmain([
       '--mode=train', '--model=BVAE', '--env=Dropbox',
       f'--datadir={datadir}', f'--logdir={logdir}',
       f'--total_itr={total_itr}', '--bs=8', '--window=5', '--log_n=1000',
       '--hidden_size=32', '--nfilter=8', '--vqK=16', '--vqD=8',
-      '--device_dataset=1',
+      '--device_dataset=1', '--steps_per_dispatch=4',
   ])
 
 
