@@ -10,7 +10,15 @@ if [ -s logs/r5q/TPU_DEADLINE ]; then
   R5_TPU_DEADLINE=$(cat logs/r5q/TPU_DEADLINE)
 fi
 
-tpu_left() { echo $(( R5_TPU_DEADLINE - $(date +%s) )); }
+tpu_left() {
+  # re-read the override file on EVERY call: long-running stages must see
+  # mid-round deadline extensions (sourcing _lib once at stage start is not
+  # enough — the builder bumps the file while stages run)
+  if [ -s logs/r5q/TPU_DEADLINE ]; then
+    R5_TPU_DEADLINE=$(cat logs/r5q/TPU_DEADLINE)
+  fi
+  echo $(( R5_TPU_DEADLINE - $(date +%s) ))
+}
 
 tpu_guard() {  # exit the stage early if the TPU window is (nearly) spent
   if [ "$(tpu_left)" -lt "${1:-420}" ]; then
